@@ -1,0 +1,217 @@
+#!/usr/bin/env python
+"""Benchmark: DDPM denoise steps/sec/chip on the flagship local-diffusion model.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Measured quantity: branched local-diffusion DDPM sampling at the reference's
+flagship scale (MNIST 28×28, dim=32, T=50, batched) — denoise model-steps per
+second per chip, where one model-step = one UNet evaluation over the whole
+batch (branched steps count the pair as two).  vs_baseline compares against
+the CPU PyTorch per-step time of the reference implementation, measured once
+on this machine with a parity UNet and recorded in BASELINE_CPU_JSON below
+(re-measure with `python bench.py --measure-cpu-baseline`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# CPU torch baseline (steps/sec for one UNet eval at batch=1, 28×28, dim=32),
+# measured on this host via --measure-cpu-baseline.  The reference runs
+# sequential per-image batch-1 sampling (reference test.py:108, 393).
+BASELINE_CPU_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "baseline_cpu.json")
+DEFAULT_CPU_STEPS_PER_SEC = None  # filled from file when present
+
+
+def measure_cpu_baseline(repeats: int = 10) -> float:
+    """Time a torch-CPU UNet denoise step shaped like the reference flagship.
+
+    Builds a torch model of the same architecture family/size (dim=32,
+    mults (1,2,4), cond encoder) WITHOUT importing reference code, times
+    forward passes at batch=1 (the reference's inference batch size).
+    """
+    import torch
+    import torch.nn as nn
+
+    torch.set_num_threads(os.cpu_count() or 1)
+
+    class TorchBlock(nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.c1 = nn.Conv2d(cin, cout, 3, padding=1)
+            self.n1 = nn.GroupNorm(8, cout)
+            self.c2 = nn.Conv2d(cout, cout, 3, padding=1)
+            self.n2 = nn.GroupNorm(8, cout)
+            self.res = nn.Conv2d(cin, cout, 1) if cin != cout else nn.Identity()
+
+        def forward(self, x):
+            h = torch.nn.functional.silu(self.n1(self.c1(x)))
+            h = torch.nn.functional.silu(self.n2(self.c2(h)))
+            return h + self.res(x)
+
+    class TorchUNetProxy(nn.Module):
+        """Same stage/channel structure as the flagship denoiser + cond tower."""
+
+        def __init__(self, dim=32):
+            super().__init__()
+            d = [dim, dim, dim * 2, dim * 4]
+            self.init = nn.Conv2d(1, dim, 7, padding=3)
+            self.downs = nn.ModuleList()
+            for i in range(3):
+                self.downs.append(
+                    nn.ModuleList([TorchBlock(d[i], d[i]), TorchBlock(d[i], d[i]),
+                                   nn.Conv2d(d[i], d[i + 1], 3, padding=1,
+                                             stride=1 if i == 2 else 2)])
+                )
+            self.mid1 = TorchBlock(d[3], d[3])
+            self.attn = nn.MultiheadAttention(d[3], 4, batch_first=True)
+            self.mid2 = TorchBlock(d[3], d[3])
+            # cond tower (ResUnet-like: 3 blocks + pools → 128ch)
+            self.cond = nn.Sequential(
+                TorchBlock(1, 32), nn.MaxPool2d(2), TorchBlock(32, 64),
+                nn.MaxPool2d(2), TorchBlock(64, 128),
+            )
+            self.fuse = TorchBlock(d[3] * 2, d[3])
+            self.ups = nn.ModuleList()
+            for i in reversed(range(3)):
+                self.ups.append(
+                    nn.ModuleList([TorchBlock(d[i + 1] + d[i], d[i + 1]),
+                                   TorchBlock(d[i + 1] + d[i], d[i + 1]),
+                                   nn.ConvTranspose2d(d[i + 1], d[i], 2, stride=2)
+                                   if i != 0 else nn.Conv2d(d[i + 1], d[i], 3, padding=1)])
+                )
+            self.final = TorchBlock(dim * 2, dim)
+            self.out = nn.Conv2d(dim, 1, 1)
+
+        def forward(self, x, cond):
+            x = self.init(x)
+            r = x
+            hs = []
+            for b1, b2, dn in self.downs:
+                x = b1(x)
+                hs.append(x)
+                x = b2(x)
+                hs.append(x)
+                x = dn(x)
+            x = self.mid1(x)
+            b, c, h, w = x.shape
+            xt = x.flatten(2).transpose(1, 2)
+            x = x + self.attn(xt, xt, xt)[0].transpose(1, 2).reshape(b, c, h, w)
+            x = self.mid2(x)
+            cf = self.cond(cond)
+            x = self.fuse(torch.cat([x, cf], 1))
+            for b1, b2, up in self.ups:
+                x = b1(torch.cat([x, hs.pop()], 1))
+                x = b2(torch.cat([x, hs.pop()], 1))
+                x = up(x)
+            return self.out(self.final(torch.cat([x, r], 1)))
+
+    model = TorchUNetProxy().eval()
+    x = torch.randn(1, 1, 28, 28)
+    cond = torch.randn(1, 1, 28, 28)
+    with torch.inference_mode():
+        for _ in range(3):
+            model(x, cond)
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            model(x, cond)
+        dt = (time.perf_counter() - t0) / repeats
+    return 1.0 / dt  # steps/sec
+
+
+def measure_tpu(batch: int = 64, timesteps: int = 50, repeats: int = 3):
+    """Branched local-diffusion sampling throughput on the attached chip."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from localdiffusion_tpu.config import SamplerConfig
+    from localdiffusion_tpu.diffusion import sampler as S
+    from __graft_entry__ import _flagship
+
+    gd = _flagship()
+    # flagship sampling uses T=50 (reference config.yaml:50); rebuild schedule
+    from localdiffusion_tpu.config import DiffusionConfig
+    from localdiffusion_tpu.diffusion.gaussian import GaussianDiffusion
+
+    gd = GaussianDiffusion(
+        gd.model_cfg,
+        DiffusionConfig(image_size=28, timesteps=timesteps, objective="pred_x0"),
+    )
+    params = gd.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    cond = jnp.asarray(rng.uniform(0, 2, (batch, 28, 28, 1)).astype(np.float32))
+    mask = np.zeros((batch, 28, 28, 1), np.float32)
+    mask[:, :, :7, :] = 1.0  # the committed manual mask (reference test.py:379-381)
+    mask = jnp.asarray(mask)
+    scfg = SamplerConfig(start_timestep=2)
+    mmv = (0.0, 2.0)
+
+    fn = jax.jit(
+        lambda p, c, m, k: S.ddpm_sample_branched(gd, p, c, m, k, scfg, mmv)
+    )
+    key = jax.random.PRNGKey(10)
+    out = jax.block_until_ready(fn(params, cond, mask, key))  # compile
+    t0 = time.perf_counter()
+    for i in range(repeats):
+        out = jax.block_until_ready(fn(params, cond, mask, jax.random.PRNGKey(i)))
+    dt = (time.perf_counter() - t0) / repeats
+
+    s = scfg.start_timestep
+    # model-steps: branched steps run the UNet twice per chain step
+    branched_steps = timesteps - s  # t in [T-1 .. s] incl. fusion step
+    fused_steps = s
+    model_steps_per_image = 2 * branched_steps + fused_steps
+    steps_per_sec = batch * model_steps_per_image / dt
+    images_per_sec = batch / dt
+    return steps_per_sec, images_per_sec, dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--measure-cpu-baseline", action="store_true")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--timesteps", type=int, default=50)
+    args = ap.parse_args()
+
+    if args.measure_cpu_baseline:
+        sps = measure_cpu_baseline()
+        with open(BASELINE_CPU_FILE, "w") as f:
+            json.dump({"cpu_torch_steps_per_sec": sps, "batch": 1}, f)
+        print(f"CPU torch baseline: {sps:.2f} steps/sec (saved)")
+        return
+
+    baseline = None
+    if os.path.exists(BASELINE_CPU_FILE):
+        with open(BASELINE_CPU_FILE) as f:
+            baseline = json.load(f)["cpu_torch_steps_per_sec"]
+
+    steps_per_sec, images_per_sec, dt = measure_tpu(args.batch, args.timesteps)
+    vs = steps_per_sec / baseline if baseline else None
+    print(
+        json.dumps(
+            {
+                "metric": "ddpm_denoise_steps_per_sec_per_chip",
+                "value": round(steps_per_sec, 2),
+                "unit": "model-steps/s",
+                "vs_baseline": round(vs, 2) if vs is not None else None,
+                "images_per_sec": round(images_per_sec, 3),
+                "batch": args.batch,
+                "sampling_timesteps": args.timesteps,
+                "wall_per_batch_s": round(dt, 4),
+                "baseline": "CPU torch reference-parity UNet, batch-1 sequential"
+                            if baseline else "unmeasured",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -46,7 +46,7 @@ class ModelConfig:
     # condition-encoder depth: 'shallow' early-exits after 3 blocks (the
     # reference's mnist/mvtecSR path, unet_model.py:131-132); 'deep' runs the
     # 4th block (mri/mvtec path, unet_model.py:116-118, 133-135).
-    cond_encoder_depth: str = "deep"
+    cond_encoder_depth: str = "auto"
     cond_group_num: int = 16
     time_emb_theta: int = 10000
 
@@ -55,7 +55,7 @@ class ModelConfig:
             raise ValueError(
                 f"full_attn {self.full_attn} must match dim_mults {self.dim_mults}"
             )
-        if self.cond_encoder_depth not in ("shallow", "deep"):
+        if self.cond_encoder_depth not in ("shallow", "deep", "auto"):
             raise ValueError(f"bad cond_encoder_depth {self.cond_encoder_depth}")
 
     @property
@@ -73,6 +73,22 @@ class ModelConfig:
     @property
     def downsample_factor(self) -> int:
         return 2 ** (len(self.dim_mults) - 1)
+
+    @property
+    def cond_num_blocks(self) -> int:
+        """Condition-encoder depth: must align its spatial reduction with the
+        denoiser bottleneck (reference shallow=3 / deep=4 blocks)."""
+        if self.cond_encoder_depth == "shallow":
+            return 3
+        if self.cond_encoder_depth == "deep":
+            return 4
+        return len(self.dim_mults)
+
+    @property
+    def cond_base_dim(self) -> int:
+        """32 matches the reference filter stack [32,32,64,128,256]; scaled
+        with `dim` when the denoiser is resized."""
+        return 32 if self.dim >= 32 else self.dim
 
 
 @dataclass(frozen=True)

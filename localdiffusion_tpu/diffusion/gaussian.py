@@ -1,0 +1,160 @@
+"""Gaussian diffusion engine: training loss + model-prediction plumbing.
+
+TPU-native equivalent of the reference `GaussianDiffusion` (reference
+ddpm.py:496-1214), re-designed as a stateless bundle of pure functions:
+
+  * no mutable sampler flags — sampling lives in diffusion/sampler.py as
+    lax.scan programs,
+  * the loss is a pure function of (params, rng, batch) → scalar,
+  * branched model predictions run as ONE batched UNet call over a leading
+    branch axis instead of the reference's two sequential calls
+    (ddpm.py:694-695).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from localdiffusion_tpu.config import DiffusionConfig, ModelConfig, SamplerConfig
+from localdiffusion_tpu.models.unet import UNet, encode_cond
+from localdiffusion_tpu.ops import diffusion_math as dm
+from localdiffusion_tpu.ops.schedules import Schedule, make_schedule
+
+
+class ModelPrediction(NamedTuple):
+    pred_noise: jnp.ndarray
+    pred_x_start: jnp.ndarray
+
+
+class GaussianDiffusion:
+    """Stateless diffusion engine bound to a denoiser UNet.
+
+    Mirrors the constructor surface of reference ddpm.py:496-513 but holds
+    only immutable pieces (model module, Schedule pytree, configs).
+    """
+
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        diff_cfg: DiffusionConfig,
+        dtype=jnp.float32,
+    ):
+        self.model_cfg = model_cfg
+        self.diff_cfg = diff_cfg
+        self.model = UNet(model_cfg, dtype=dtype)
+        self.schedule: Schedule = make_schedule(
+            diff_cfg.timesteps,
+            beta_schedule=diff_cfg.beta_schedule,
+            objective=diff_cfg.objective,
+            min_snr_loss_weight=diff_cfg.min_snr_loss_weight,
+            min_snr_gamma=diff_cfg.min_snr_gamma,
+        )
+        self.num_timesteps = diff_cfg.timesteps
+        self.sampling_timesteps = diff_cfg.resolved_sampling_timesteps
+        self.is_ddim_sampling = diff_cfg.is_ddim_sampling
+        self.objective = diff_cfg.objective
+        self.image_size = diff_cfg.image_size
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+    def init_params(self, rng, batch_size: int = 1):
+        s = self.image_size
+        c = self.model_cfg.channels
+        cc = self.model_cfg.resolved_cond_channels
+        x = jnp.zeros((batch_size, s, s, c))
+        cond = jnp.zeros((batch_size, s, s, cc))
+        t = jnp.zeros((batch_size,))
+        return self.model.init(rng, x, cond, t)
+
+    # ------------------------------------------------------------------
+    # model application
+    # ------------------------------------------------------------------
+    def apply_model(self, params, x, cond, t, cond_feat=None):
+        return self.model.apply(params, x, cond, t, cond_feat=cond_feat)
+
+    def encode_cond(self, params, cond):
+        return encode_cond(params, self.model_cfg, cond, dtype=self.model.dtype)
+
+    # ------------------------------------------------------------------
+    # training loss (reference ddpm.py:1156-1214)
+    # ------------------------------------------------------------------
+    def p_losses(
+        self,
+        params,
+        x_start: jnp.ndarray,
+        cond: jnp.ndarray,
+        t: jnp.ndarray,
+        noise: jnp.ndarray,
+        offset_noise: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        sched = self.schedule
+        if offset_noise is not None and self.diff_cfg.offset_noise_strength > 0.0:
+            noise = noise + self.diff_cfg.offset_noise_strength * offset_noise[
+                :, None, None, :
+            ]
+
+        x = dm.q_sample(sched, x_start, t, noise)
+        model_out = self.apply_model(params, x, cond, t)
+
+        if self.objective == "pred_noise":
+            target = noise
+        elif self.objective == "pred_x0":
+            target = x_start
+        elif self.objective == "pred_v":
+            target = dm.predict_v(sched, x_start, t, noise)
+        else:
+            raise ValueError(self.objective)
+
+        loss = jnp.mean((model_out - target) ** 2, axis=(1, 2, 3))
+        loss = loss * sched.loss_weight[t]
+        return jnp.mean(loss)
+
+    def loss(self, params, rng, x_start, cond) -> jnp.ndarray:
+        """Sample t ~ U[0,T) and noise, then p_losses (reference ddpm.py:1203-1214)."""
+        b = x_start.shape[0]
+        t_key, n_key = jax.random.split(rng)
+        t = jax.random.randint(t_key, (b,), 0, self.num_timesteps)
+        noise = jax.random.normal(n_key, x_start.shape, dtype=x_start.dtype)
+        if self.diff_cfg.auto_normalize:
+            x_start = dm.normalize_to_neg_one_to_one(x_start)
+        return self.p_losses(params, x_start, cond, t, noise)
+
+    # ------------------------------------------------------------------
+    # prediction conversion (reference ddpm.py:668-766, non-branched path)
+    # ------------------------------------------------------------------
+    def model_predictions(
+        self,
+        params,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        cond_feat: jnp.ndarray,
+        min_max_val: Tuple[float, float],
+        clip_x_start: bool = False,
+        rederive_pred_noise: bool = False,
+    ) -> ModelPrediction:
+        sched = self.schedule
+        model_output = self.apply_model(params, x, None, t, cond_feat=cond_feat)
+        lo, hi = min_max_val
+
+        if self.objective == "pred_noise":
+            pred_noise = model_output
+            x_start = dm.predict_start_from_noise(sched, x, t, pred_noise)
+            if clip_x_start:
+                x_start = jnp.clip(x_start, lo, hi)
+                if rederive_pred_noise:
+                    pred_noise = dm.predict_noise_from_start(sched, x, t, x_start)
+        elif self.objective == "pred_x0":
+            x_start = model_output
+            if clip_x_start:
+                x_start = jnp.clip(x_start, lo, hi)
+            pred_noise = dm.predict_noise_from_start(sched, x, t, x_start)
+        else:  # pred_v
+            x_start = dm.predict_start_from_v(sched, x, t, model_output)
+            if clip_x_start:
+                x_start = jnp.clip(x_start, lo, hi)
+            pred_noise = dm.predict_noise_from_start(sched, x, t, x_start)
+        return ModelPrediction(pred_noise, x_start)

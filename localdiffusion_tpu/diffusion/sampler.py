@@ -1,0 +1,540 @@
+"""Local-diffusion sampling as jit-compiled lax.scan programs.
+
+The reference sampler is a Python loop over T with a mutable config-flag
+state machine and constant CPU↔GPU mask ping-pong (reference ddpm.py:
+929-1125).  Here the structure is static and fully device-resident:
+
+  phase A (branched): t ∈ [T-1 .. s+1]   — OOD and IND branches advanced
+          together as ONE batched UNet call over a leading branch axis
+          (vs. two sequential calls, ddpm.py:694-695), shared per-step noise
+          (ddpm.py:852-854).
+  fusion at t = s = start_timestep        — x_start and noisy states fused
+          via the binary mask (ddpm.py:779-810).
+  phase B (fused): t ∈ [s-1 .. 0]         — single chain; with the
+          classifier gate enabled, each step may reject the fused estimate
+          and re-branch from the saved pair (ddpm.py:874-927), expressed as
+          a jnp.where over both candidate steps inside the scan.
+
+Condition features are encoded ONCE per chain and reused for all T steps
+(the conditioning image is constant across the reverse process; the
+reference re-encodes it every UNet forward, ddpm.py:434).
+
+DDIM (ddpm.py:979-1075) follows the same phase structure over the strided
+time pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from localdiffusion_tpu.config import SamplerConfig
+from localdiffusion_tpu.diffusion.gaussian import GaussianDiffusion
+from localdiffusion_tpu.ops import diffusion_math as dm
+
+
+# ---------------------------------------------------------------------------
+# mask algebra (reference ddpm.py:672-689)
+# ---------------------------------------------------------------------------
+
+def binarize_mask(mask: jnp.ndarray) -> jnp.ndarray:
+    """OOD-region binary mask: mask >= 1.0 (reference ddpm.py:672)."""
+    return (mask >= 1.0).astype(jnp.float32)
+
+
+def partition_cond(
+    cond: jnp.ndarray, binary_mask: jnp.ndarray, cond_in_floor: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Split the conditioning image into OOD / IND views.
+
+    cond_out = cond·mask; cond_in = cond·clip(1-mask, floor, 1) — the IND
+    branch keeps "some information" about the OOD region (ddpm.py:677-689).
+    """
+    cond_out = cond * binary_mask
+    mask2 = jnp.clip(1.0 - binary_mask, cond_in_floor, 1.0)
+    cond_in = cond * mask2
+    return cond_out, cond_in
+
+
+def apply_mask_x(
+    model_output_out: jnp.ndarray,
+    binary_mask: jnp.ndarray,
+    cond_out: jnp.ndarray,
+    min_val: float,
+    policy: str,
+) -> jnp.ndarray:
+    """OOD-branch output policy under mask_x (reference ddpm.py:697-708).
+
+    'minval' (mri): model output inside the mask, min_val outside.
+    'cond'   (mnist/mvtec/oct/imagenet): replaced by the masked cond image.
+    """
+    if policy == "cond":
+        return cond_out
+    out = model_output_out * binary_mask
+    return jnp.where(binary_mask == 0.0, jnp.float32(min_val), out)
+
+
+def fuse_noisy_states(
+    x_out_masked: jnp.ndarray,
+    x_in_masked: jnp.ndarray,
+    binary_mask: jnp.ndarray,
+    route: str,
+) -> jnp.ndarray:
+    """Merge masked branch states into one chain state.
+
+    'zero_sentinel' reproduces the reference exactly:
+    where(x_out == 0, x_in, x_out) (ddpm.py:797, 1035) — brittle when a
+    genuinely-zero pixel sits inside the mask.  'mask' routes by the mask.
+    """
+    if route == "zero_sentinel":
+        return jnp.where(x_out_masked == 0.0, x_in_masked, x_out_masked)
+    return jnp.where(binary_mask > 0.0, x_out_masked, x_in_masked)
+
+
+# ---------------------------------------------------------------------------
+# sampling programs
+# ---------------------------------------------------------------------------
+
+ClassifierFn = Callable[[jnp.ndarray], jnp.ndarray]  # x_start -> score per batch
+
+
+def _noise_like(key, x, t):
+    """Per-step noise, zeroed at t == 0 (reference ddpm.py:852, 857)."""
+    n = jax.random.normal(key, x.shape, dtype=x.dtype)
+    return jnp.where(t > 0, n, jnp.zeros_like(n))
+
+
+def ddpm_sample_plain(
+    gd: GaussianDiffusion,
+    params,
+    cond: jnp.ndarray,
+    key: jax.Array,
+    min_max_val: Tuple[float, float],
+    gt: Optional[jnp.ndarray] = None,
+    use_gt_timestep: Optional[int] = None,
+    return_all: bool = False,
+):
+    """Plain (non-branched) ancestral DDPM chain (reference ddpm.py:929-977
+    with branch_out=False), as one lax.scan.
+    """
+    sched = gd.schedule
+    lo, hi = min_max_val
+    b = cond.shape[0]
+    shape = (b, gd.image_size, gd.image_size, gd.model_cfg.channels)
+
+    key, init_key = jax.random.split(key)
+    img = jax.random.normal(init_key, shape, dtype=jnp.float32)
+
+    t_start = gd.num_timesteps
+    if gt is not None and use_gt_timestep is not None:
+        # start the reverse chain from a noised ground truth
+        # (use_gt, reference ddpm.py:937-944)
+        t_start = int(use_gt_timestep)
+        tb = jnp.full((b,), t_start, dtype=jnp.int32)
+        img = dm.q_sample(sched, gt, tb, img)
+
+    cond_feat = gd.encode_cond(params, cond)
+
+    def step(carry, inp):
+        x, k = carry
+        t = inp
+        k, nk = jax.random.split(k)
+        tb = jnp.full((b,), t, dtype=jnp.int32)
+        out = gd.apply_model(params, x, None, tb, cond_feat=cond_feat)
+        x_start = dm.model_output_to_x_start(sched, out, x, tb)
+        x_start = jnp.clip(x_start, lo, hi)  # clip_denoised (ddpm.py:820-821)
+        mean, _, logvar = dm.q_posterior(sched, x_start, x, tb)
+        noise = _noise_like(nk, x, t)
+        x_new = mean + jnp.exp(0.5 * logvar) * noise
+        return (x_new, k), (x_new if return_all else None)
+
+    ts = jnp.arange(t_start - 1, -1, -1)
+    (img, _), ys = jax.lax.scan(step, (img, key), ts)
+    if return_all:
+        return img, ys
+    return img
+
+
+def _branched_model_call(gd, params, x_pair, tb, feat_pair):
+    """One batched UNet call over both branches ([2B] batch)."""
+    b = x_pair.shape[1]
+    X = jnp.concatenate([x_pair[0], x_pair[1]], axis=0)
+    T2 = jnp.concatenate([tb, tb], axis=0)
+    out = gd.apply_model(params, X, None, T2, cond_feat=feat_pair)
+    return out[:b], out[b:]
+
+
+def ddpm_sample_branched(
+    gd: GaussianDiffusion,
+    params,
+    cond: jnp.ndarray,
+    mask: jnp.ndarray,
+    key: jax.Array,
+    scfg: SamplerConfig,
+    min_max_val: Tuple[float, float],
+    gt: Optional[jnp.ndarray] = None,
+    classifier_fn: Optional[ClassifierFn] = None,
+):
+    """Branched local-diffusion DDPM with mid-chain fusion.
+
+    Implements reference ddpm.py:668-977 as the three-phase scan program
+    described in the module docstring.  Returns the final image [B,H,W,C]
+    (or the branch pair [2,B,H,W,C] when start_intermediate is False —
+    reference ddpm.py:965-970).
+    """
+    sched = gd.schedule
+    lo, hi = min_max_val
+    b = cond.shape[0]
+    shape = (b, gd.image_size, gd.image_size, gd.model_cfg.channels)
+
+    m = binarize_mask(mask)
+    cond_out, cond_in = partition_cond(cond, m, scfg.cond_in_floor)
+
+    # condition features: once per chain, not once per step
+    feat_out = gd.encode_cond(params, cond_out.astype(jnp.float32))
+    feat_in = gd.encode_cond(params, cond_in.astype(jnp.float32))
+    feat_pair = jnp.concatenate([feat_out, feat_in], axis=0)
+    feat_full = gd.encode_cond(params, cond)
+
+    key, init_key = jax.random.split(key)
+    img0 = jax.random.normal(init_key, shape, dtype=jnp.float32)
+
+    t_top = gd.num_timesteps
+    if scfg.use_gt and gt is not None:
+        t_top = int(scfg.use_gt_timestep)
+        tb = jnp.full((b,), t_top, dtype=jnp.int32)
+        img0 = dm.q_sample(sched, gt, tb, img0)
+
+    x_pair = jnp.stack([img0, img0])  # both branches start from shared noise
+
+    def branch_starts(x_pair, tb):
+        """Model predictions for both branches incl. mask_x policy + clip."""
+        mo_out, mo_in = _branched_model_call(gd, params, x_pair, tb, feat_pair)
+        xs_out = dm.model_output_to_x_start(sched, mo_out, x_pair[0], tb)
+        xs_in = dm.model_output_to_x_start(sched, mo_in, x_pair[1], tb)
+        if scfg.mask_x:
+            xs_out = apply_mask_x(xs_out, m, cond_out, lo, scfg.mask_x_policy)
+        xs_out = jnp.clip(xs_out, lo, hi)
+        xs_in = jnp.clip(xs_in, lo, hi)
+        return xs_out, xs_in
+
+    def branched_step(carry, t):
+        x_pair, k = carry
+        k, nk = jax.random.split(k)
+        tb = jnp.full((b,), t, dtype=jnp.int32)
+        xs_out, xs_in = branch_starts(x_pair, tb)
+        mean_out, _, logvar_out = dm.q_posterior(sched, xs_out, x_pair[0], tb)
+        mean_in, _, logvar_in = dm.q_posterior(sched, xs_in, x_pair[1], tb)
+        noise = _noise_like(nk, x_pair[0], t)  # shared across branches
+        x_out = mean_out + jnp.exp(0.5 * logvar_out) * noise
+        x_in = mean_in + jnp.exp(0.5 * logvar_in) * noise
+        return (jnp.stack([x_out, x_in]), k), None
+
+    s = int(scfg.start_timestep)
+
+    if not scfg.start_intermediate:
+        # branched all the way down; returns the pair (ddpm.py:965-970)
+        ts = jnp.arange(t_top - 1, -1, -1)
+        (x_pair, _), _ = jax.lax.scan(branched_step, (x_pair, key), ts)
+        return x_pair
+
+    # ---- phase A: branched steps t ∈ [T-1 .. s+1] ----
+    if t_top - 1 > s:
+        ts = jnp.arange(t_top - 1, s, -1)
+        (x_pair, key), _ = jax.lax.scan(branched_step, (x_pair, key), ts)
+
+    # ---- fusion at t = s (ddpm.py:779-810) ----
+    def fuse_step(x_pair, t, k):
+        tb = jnp.full((b,), t, dtype=jnp.int32)
+        xs_out, xs_in = branch_starts(x_pair, tb)
+        x_start = xs_in * (1.0 - m) + xs_out  # xs_out is mask_x-masked
+        x_out_masked = x_pair[0] * m
+        x_in_masked = x_pair[1] * (1.0 - m)
+        x = fuse_noisy_states(x_out_masked, x_in_masked, m, scfg.fusion_route)
+        x_start = jnp.clip(x_start, lo, hi)
+        mean, _, logvar = dm.q_posterior(sched, x_start, x, tb)
+        noise = _noise_like(k, x, t)
+        return mean + jnp.exp(0.5 * logvar) * noise, (x_out_masked, x_in_masked)
+
+    key, fk = jax.random.split(key)
+    t_fuse = min(s, t_top - 1)
+    img, branchout_pair = fuse_step(x_pair, t_fuse, fk)
+
+    if t_fuse == 0:
+        return img
+
+    # ---- phase B: fused steps t ∈ [s-1 .. 0] ----
+    def plain_step(x, t, k):
+        tb = jnp.full((b,), t, dtype=jnp.int32)
+        out = gd.apply_model(params, x, None, tb, cond_feat=feat_full)
+        x_start = dm.model_output_to_x_start(sched, out, x, tb)
+        x_start = jnp.clip(x_start, lo, hi)
+        mean, _, logvar = dm.q_posterior(sched, x_start, x, tb)
+        noise = _noise_like(k, x, t)
+        return mean + jnp.exp(0.5 * logvar) * noise, x_start
+
+    use_classifier = scfg.classifier and classifier_fn is not None
+    x_branchout = jnp.stack(branchout_pair)
+
+    def fused_phase_step(carry, t):
+        x, k, accepted = carry
+        k, pk, rk = jax.random.split(k, 3)
+        img_plain, xs_plain = plain_step(x, t, pk)
+
+        if not use_classifier:
+            return (img_plain, k, accepted), None
+
+        # classifier gate (reference ddpm.py:883-916): accept the fused
+        # estimate if classified as anomalous (score > 0) or at t == 0;
+        # otherwise redo this step branched from the saved masked pair
+        # and re-fuse.
+        score = classifier_fn(xs_plain)
+        accept_now = jnp.logical_or(jnp.any(score > 0.0), t == 0)
+        img_retry, _ = fuse_step(x_branchout, t, rk)
+        use_plain = jnp.logical_or(accepted, accept_now)
+        img_next = jnp.where(use_plain, img_plain, img_retry)
+        accepted_next = jnp.logical_or(accepted, accept_now)
+        return (img_next, k, accepted_next), None
+
+    ts = jnp.arange(t_fuse - 1, -1, -1)
+    (img, _, _), _ = jax.lax.scan(
+        fused_phase_step, (img, key, jnp.asarray(not use_classifier)), ts
+    )
+    return img
+
+
+def ddim_times(total_timesteps: int, sampling_timesteps: int) -> np.ndarray:
+    """Strided DDIM time grid, descending incl. the trailing -1
+    (reference ddpm.py:984-986)."""
+    times = np.linspace(-1, total_timesteps - 1, sampling_timesteps + 1)
+    return np.asarray(list(reversed(times.astype(int).tolist())))
+
+
+def ddim_sample_plain(
+    gd: GaussianDiffusion,
+    params,
+    cond: jnp.ndarray,
+    key: jax.Array,
+    min_max_val: Tuple[float, float],
+    return_all: bool = False,
+):
+    """Plain DDIM (η=0 default) as one scan over strided time pairs
+    (reference ddpm.py:1045-1068)."""
+    sched = gd.schedule
+    lo, hi = min_max_val
+    b = cond.shape[0]
+    shape = (b, gd.image_size, gd.image_size, gd.model_cfg.channels)
+    eta = gd.diff_cfg.ddim_sampling_eta
+
+    times = ddim_times(gd.num_timesteps, gd.sampling_timesteps)
+    pairs = jnp.asarray(np.stack([times[:-1], times[1:]], axis=1))
+
+    key, init_key = jax.random.split(key)
+    img = jax.random.normal(init_key, shape, dtype=jnp.float32)
+    cond_feat = gd.encode_cond(params, cond)
+
+    def step(carry, pair):
+        x, k = carry
+        t, t_next = pair[0], pair[1]
+        k, nk = jax.random.split(k)
+        tb = jnp.full((b,), t, dtype=jnp.int32)
+        pred = gd.model_predictions(
+            params, x, tb, cond_feat, min_max_val, clip_x_start=True,
+            rederive_pred_noise=True,
+        )
+        x_start, pred_noise = pred.pred_x_start, pred.pred_noise
+
+        alpha = sched.alphas_cumprod[t]
+        alpha_next = jnp.where(t_next >= 0, sched.alphas_cumprod[t_next], 1.0)
+        sigma = eta * jnp.sqrt(
+            (1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha)
+        )
+        c = jnp.sqrt(jnp.clip(1.0 - alpha_next - sigma**2, 0.0))
+        noise = jax.random.normal(nk, x.shape, dtype=x.dtype)
+        x_step = x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
+        # final pair (t_next < 0) returns x_start directly (ddpm.py:1053-1056)
+        x_new = jnp.where(t_next < 0, x_start, x_step)
+        return (x_new, k), (x_new if return_all else None)
+
+    (img, _), ys = jax.lax.scan(step, (img, key), pairs)
+    if return_all:
+        return img, ys
+    return img
+
+
+def ddim_sample_branched(
+    gd: GaussianDiffusion,
+    params,
+    cond: jnp.ndarray,
+    mask: jnp.ndarray,
+    key: jax.Array,
+    scfg: SamplerConfig,
+    min_max_val: Tuple[float, float],
+):
+    """Branched DDIM with mid-chain fusion (reference ddpm.py:1002-1043).
+
+    Fusion fires at t <= times[-start_timestep-2] (ddpm.py:987): x_start is
+    fused with the zero-sentinel route and pred_noise via the masked route
+    (ddpm.py:1025-1035); later steps run the plain DDIM update.
+    """
+    sched = gd.schedule
+    lo, hi = min_max_val
+    b = cond.shape[0]
+    shape = (b, gd.image_size, gd.image_size, gd.model_cfg.channels)
+    eta = gd.diff_cfg.ddim_sampling_eta
+
+    times = ddim_times(gd.num_timesteps, gd.sampling_timesteps)
+    fuse_time = int(times[-scfg.start_timestep - 2])
+    # index of the first pair whose t <= fuse_time
+    pair_ts = times[:-1]
+    fuse_idx = int(np.argmax(pair_ts <= fuse_time))
+
+    m = binarize_mask(mask)
+    cond_out, cond_in = partition_cond(cond, m, scfg.cond_in_floor)
+    feat_out = gd.encode_cond(params, cond_out.astype(jnp.float32))
+    feat_in = gd.encode_cond(params, cond_in.astype(jnp.float32))
+    feat_pair = jnp.concatenate([feat_out, feat_in], axis=0)
+    feat_full = gd.encode_cond(params, cond)
+
+    key, init_key = jax.random.split(key)
+    img0 = jax.random.normal(init_key, shape, dtype=jnp.float32)
+    x_pair = jnp.stack([img0, img0])
+
+    def branch_preds(x_pair, tb):
+        """Branched model predictions with clip + rederived noise
+        (clip_x_start=True path of ddpm.py:725-749)."""
+        mo_out, mo_in = _branched_model_call(gd, params, x_pair, tb, feat_pair)
+        xs_out = dm.model_output_to_x_start(sched, mo_out, x_pair[0], tb)
+        xs_in = dm.model_output_to_x_start(sched, mo_in, x_pair[1], tb)
+        if scfg.mask_x:
+            xs_out = apply_mask_x(xs_out, m, cond_out, lo, scfg.mask_x_policy)
+        xs_out = jnp.clip(xs_out, lo, hi)
+        xs_in = jnp.clip(xs_in, lo, hi)
+        pn_out = dm.predict_noise_from_start(sched, x_pair[0], tb, xs_out)
+        pn_in = dm.predict_noise_from_start(sched, x_pair[1], tb, xs_in)
+        return (xs_out, pn_out), (xs_in, pn_in)
+
+    def ddim_coeffs(t, t_next):
+        alpha = sched.alphas_cumprod[t]
+        alpha_next = jnp.where(t_next >= 0, sched.alphas_cumprod[t_next], 1.0)
+        sigma = eta * jnp.sqrt(
+            (1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha)
+        )
+        c = jnp.sqrt(jnp.clip(1.0 - alpha_next - sigma**2, 0.0))
+        return alpha_next, sigma, c
+
+    pairs = np.stack([times[:-1], times[1:]], axis=1)
+
+    def branched_step(carry, pair):
+        x_pair, k = carry
+        t, t_next = pair[0], pair[1]
+        k, nk = jax.random.split(k)
+        tb = jnp.full((b,), t, dtype=jnp.int32)
+        (xs_out, pn_out), (xs_in, pn_in) = branch_preds(x_pair, tb)
+        alpha_next, sigma, c = ddim_coeffs(t, t_next)
+        noise = jax.random.normal(nk, xs_out.shape, dtype=xs_out.dtype)
+        x_out = xs_out * jnp.sqrt(alpha_next) + c * pn_out + sigma * noise
+        x_in = xs_in * jnp.sqrt(alpha_next) + c * pn_in + sigma * noise
+        x_out = jnp.where(t_next < 0, xs_out, x_out)
+        x_in = jnp.where(t_next < 0, xs_in, x_in)
+        return (jnp.stack([x_out, x_in]), k), None
+
+    if not scfg.start_intermediate:
+        (x_pair, _), _ = jax.lax.scan(branched_step, (x_pair, key), jnp.asarray(pairs))
+        return x_pair
+
+    # phase A: branched pairs before the fusion index
+    if fuse_idx > 0:
+        (x_pair, key), _ = jax.lax.scan(
+            branched_step, (x_pair, key), jnp.asarray(pairs[:fuse_idx])
+        )
+
+    # fusion step (ddpm.py:1022-1041)
+    t, t_next = int(pairs[fuse_idx][0]), int(pairs[fuse_idx][1])
+    key, nk = jax.random.split(key)
+    tb = jnp.full((b,), t, dtype=jnp.int32)
+    (xs_out, pn_out), (xs_in, pn_in) = branch_preds(x_pair, tb)
+    x_start = fuse_noisy_states(xs_out, xs_in, m, scfg.fusion_route)
+    x_start = jnp.clip(x_start, lo, hi)
+    pn_out_masked = pn_out * m
+    pn_in_masked = pn_in * (1.0 - m)
+    pred_noise = fuse_noisy_states(pn_out_masked, pn_in_masked, m, scfg.fusion_route)
+    if t_next < 0:
+        return x_start
+    alpha_next, sigma, c = ddim_coeffs(t, t_next)
+    noise = jax.random.normal(nk, x_start.shape, dtype=x_start.dtype)
+    img = x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
+
+    # phase B: plain DDIM on the fused chain
+    def plain_step(carry, pair):
+        x, k = carry
+        t, t_next = pair[0], pair[1]
+        k, nk = jax.random.split(k)
+        tb = jnp.full((b,), t, dtype=jnp.int32)
+        pred = gd.model_predictions(
+            params, x, tb, feat_full, min_max_val, clip_x_start=True,
+            rederive_pred_noise=True,
+        )
+        x_start = jnp.clip(pred.pred_x_start, lo, hi)
+        alpha_next, sigma, c = ddim_coeffs(t, t_next)
+        noise = jax.random.normal(nk, x.shape, dtype=x.dtype)
+        x_step = x_start * jnp.sqrt(alpha_next) + c * pred.pred_noise + sigma * noise
+        x_new = jnp.where(t_next < 0, x_start, x_step)
+        return (x_new, k), None
+
+    rest = pairs[fuse_idx + 1 :]
+    if len(rest) > 0:
+        (img, _), _ = jax.lax.scan(plain_step, (img, key), jnp.asarray(rest))
+    return img
+
+
+# ---------------------------------------------------------------------------
+# top-level dispatch (reference GaussianDiffusion.sample, ddpm.py:1077-1125)
+# ---------------------------------------------------------------------------
+
+def sample(
+    gd: GaussianDiffusion,
+    params,
+    cond: jnp.ndarray,
+    key: jax.Array,
+    scfg: SamplerConfig,
+    min_max_val: Tuple[float, float],
+    mask: Optional[jnp.ndarray] = None,
+    gt: Optional[jnp.ndarray] = None,
+    classifier_fn: Optional[ClassifierFn] = None,
+    return_all: bool = False,
+):
+    """Flag reconciliation + dispatch.
+
+    Host-side decisions (mirroring ddpm.py:1093-1125): a uniformly-one mask
+    (detector found no anomaly) bypasses branching entirely; DDPM vs DDIM is
+    chosen by sampling_timesteps < timesteps.
+    """
+    branch = scfg.branch_out and mask is not None
+    if branch:
+        mu = np.unique(np.asarray(mask))
+        if len(mu) == 1 and float(mu[0]) == 1.0:
+            branch = False  # "Original reverse process as AD is low"
+
+    if gd.is_ddim_sampling:
+        if branch:
+            return ddim_sample_branched(
+                gd, params, cond, mask, key, scfg, min_max_val
+            )
+        return ddim_sample_plain(gd, params, cond, key, min_max_val, return_all)
+
+    if branch:
+        return ddpm_sample_branched(
+            gd, params, cond, mask, key, scfg, min_max_val, gt=gt,
+            classifier_fn=classifier_fn,
+        )
+    gt_arg = gt if (scfg.use_gt and scfg.start_intermediate) else None
+    return ddpm_sample_plain(
+        gd, params, cond, key, min_max_val,
+        gt=gt_arg,
+        use_gt_timestep=scfg.use_gt_timestep if gt_arg is not None else None,
+        return_all=return_all,
+    )

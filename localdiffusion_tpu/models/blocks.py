@@ -1,0 +1,224 @@
+"""Denoiser building blocks (flax.linen, NHWC, MXU-friendly).
+
+Functional re-design of the reference blocks (reference ddpm.py:112-282):
+RMSNorm, sinusoidal time embedding, Block/ResnetBlock (conv→GroupNorm→FiLM→
+SiLU), space-to-depth Downsample, nearest Upsample, linear attention and full
+attention.  Layout is NHWC so convs tile directly onto the MXU; compute dtype
+is switchable (bf16 on TPU), params stay float32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from localdiffusion_tpu.ops.attention import full_attention
+
+Dtype = Any
+
+
+class RMSNorm(nn.Module):
+    """Channel-wise RMS norm: l2-normalize over channels, scale by g·√C.
+
+    Equivalent of reference ddpm.py:126-132 (torch F.normalize over dim=1)
+    in NHWC (channels-last).
+    """
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        g = self.param("g", nn.initializers.ones, (c,), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        norm = jnp.sqrt(jnp.sum(x32 * x32, axis=-1, keepdims=True))
+        normed = x32 / jnp.maximum(norm, 1e-12)
+        return (normed * g * math.sqrt(c)).astype(self.dtype)
+
+
+class SinusoidalPosEmb(nn.Module):
+    """Sinusoidal timestep embedding, θ=10000 (reference ddpm.py:136-149)."""
+
+    dim: int
+    theta: int = 10000
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        import numpy as np
+
+        half_dim = self.dim // 2
+        # frequencies are trace-time constants; host float64 math keeps them
+        # bit-close to the reference's torch computation (ddpm.py:144-146)
+        scale = math.log(self.theta) / (half_dim - 1)
+        freqs = jnp.asarray(
+            np.exp(np.arange(half_dim) * -scale).astype(np.float32)
+        )
+        emb = t.astype(jnp.float32)[:, None] * freqs[None, :]
+        return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+
+
+class TimeMlp(nn.Module):
+    """SinusoidalPosEmb → Linear → GELU → Linear (reference ddpm.py:339-344)."""
+
+    dim: int
+    time_dim: int
+    theta: int = 10000
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        x = SinusoidalPosEmb(self.dim, self.theta)(t)
+        x = nn.Dense(self.time_dim, dtype=self.dtype, name="fc1")(x)
+        # torch nn.GELU default is the exact (erf) formulation
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.time_dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class Block(nn.Module):
+    """conv3×3 → GroupNorm → (FiLM scale/shift) → SiLU (reference ddpm.py:170-186)."""
+
+    dim_out: int
+    groups: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        scale_shift: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    ) -> jnp.ndarray:
+        x = nn.Conv(self.dim_out, (3, 3), padding=1, dtype=self.dtype, name="proj")(x)
+        x = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="norm")(x)
+        if scale_shift is not None:
+            scale, shift = scale_shift
+            x = x * (scale + 1.0) + shift
+        return nn.silu(x)
+
+
+class ResnetBlock(nn.Module):
+    """Two Blocks + 1×1 residual, FiLM-conditioned on the time embedding
+    (reference ddpm.py:188-212)."""
+
+    dim_out: int
+    groups: int = 8
+    use_time_emb: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, time_emb: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        scale_shift = None
+        if self.use_time_emb and time_emb is not None:
+            h = nn.silu(time_emb)
+            h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="mlp")(h)
+            h = h[:, None, None, :]  # b c -> b 1 1 c
+            scale, shift = jnp.split(h, 2, axis=-1)
+            scale_shift = (scale, shift)
+
+        h = Block(self.dim_out, self.groups, self.dtype, name="block1")(x, scale_shift)
+        h = Block(self.dim_out, self.groups, self.dtype, name="block2")(h)
+        if x.shape[-1] != self.dim_out:
+            x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="res_conv")(x)
+        return h + x
+
+
+class Downsample(nn.Module):
+    """Space-to-depth ×2 then 1×1 conv (reference ddpm.py:120-124).
+
+    Channel order after the rearrange matches einops '(c p1 p2)' so torch
+    weights port directly.
+    """
+
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        # -> b h' w' (c p1 p2): channel-major like the reference rearrange
+        x = x.transpose(0, 1, 3, 5, 2, 4).reshape(b, h // 2, w // 2, c * 4)
+        return nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    """Nearest ×2 upsample then 3×3 conv (reference ddpm.py:114-118)."""
+
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return nn.Conv(self.dim_out, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class LinearAttention(nn.Module):
+    """Softmax-feature linear attention with RMSNorm in/out (reference
+    ddpm.py:214-251).  O(N·d²) — the cheap attention used at high-res stages.
+    """
+
+    heads: int = 4
+    dim_head: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        n = h * w
+        hidden = self.heads * self.dim_head
+        scale = self.dim_head**-0.5
+
+        x_in = RMSNorm(self.dtype, name="norm")(x)
+        qkv = nn.Conv(
+            hidden * 3, (1, 1), use_bias=False, dtype=self.dtype, name="to_qkv"
+        )(x_in)
+        qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [b, n, H, d]
+
+        # reference softmaxes q over the feature dim, k over tokens
+        q = jax.nn.softmax(q.astype(jnp.float32), axis=-1).astype(self.dtype) * scale
+        k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(self.dtype)
+
+        # context[d, e] = Σ_n k[n, d] v[n, e]  (reference einsum ddpm.py:247)
+        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
+        # out[n, e] = Σ_d context[d, e] q[n, d]  (ddpm.py:249)
+        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
+        out = out.reshape(b, h, w, hidden)
+        out = nn.Conv(c, (1, 1), dtype=self.dtype, name="to_out")(out)
+        return RMSNorm(self.dtype, name="out_norm")(out)
+
+
+class Attention(nn.Module):
+    """Full softmax attention over flattened H×W tokens (reference
+    ddpm.py:253-282 + attend.py).  Dispatches to the fused Pallas kernel on
+    TPU via ops.attention.full_attention.
+    """
+
+    heads: int = 4
+    dim_head: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        n = h * w
+        hidden = self.heads * self.dim_head
+
+        x_in = RMSNorm(self.dtype, name="norm")(x)
+        qkv = nn.Conv(
+            hidden * 3, (1, 1), use_bias=False, dtype=self.dtype, name="to_qkv"
+        )(x_in)
+        qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [b, n, H, d]
+
+        out = full_attention(q, k, v)  # [b, n, H, d]
+        out = out.reshape(b, h, w, hidden)
+        return nn.Conv(c, (1, 1), dtype=self.dtype, name="to_out")(out)

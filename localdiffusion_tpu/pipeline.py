@@ -1,0 +1,174 @@
+"""End-to-end local-diffusion inference pipeline.
+
+Equivalent of the reference inference script flow (reference test.py:180-445):
+for each (hr, lr) pair — Stage A: OOD-detect the conditioning image into a
+soft mask; Stage B: branched local-diffusion sampling with mid-chain fusion;
+then metrics and artifact collection.
+
+Differences by design: the sampler is a compiled scan (compiled once, reused
+across images), masks stay device-resident, and per-image wall-clock capture
+uses the same boundary the reference times (test.py:392-415).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from localdiffusion_tpu.config import Config, min_max_val_for
+from localdiffusion_tpu.diffusion import sampler as S
+from localdiffusion_tpu.diffusion.gaussian import GaussianDiffusion
+from localdiffusion_tpu.ood.frontend import OODFrontend
+from localdiffusion_tpu.utils.metrics import mse, psnr, ssim
+
+
+class LocalDiffusionPipeline:
+    """Config-driven translate-with-hallucination-suppression pipeline."""
+
+    def __init__(
+        self,
+        config: Config,
+        gd: GaussianDiffusion,
+        params,
+        frontend: Optional[OODFrontend] = None,
+        classifier_gate=None,
+    ):
+        self.config = config
+        self.gd = gd
+        self.params = params
+        self.frontend = frontend
+        self.classifier_gate = classifier_gate
+        self.min_max_val = min_max_val_for(config)
+        self._branched_fn = None
+        self._plain_fn = None
+
+    # ------------------------------------------------------------------
+    def _compile_branched(self):
+        scfg = self.config.sampler
+        mmv = self.min_max_val
+        gd = self.gd
+        gate = self.classifier_gate if scfg.classifier else None
+        if gd.is_ddim_sampling:
+            def fn(params, cond, mask, key):
+                return S.ddim_sample_branched(gd, params, cond, mask, key, scfg, mmv)
+        else:
+            def fn(params, cond, mask, key):
+                return S.ddpm_sample_branched(
+                    gd, params, cond, mask, key, scfg, mmv, classifier_fn=gate
+                )
+        return jax.jit(fn)
+
+    def _compile_plain(self):
+        mmv = self.min_max_val
+        gd = self.gd
+        if gd.is_ddim_sampling:
+            def fn(params, cond, key):
+                return S.ddim_sample_plain(gd, params, cond, key, mmv)
+        else:
+            def fn(params, cond, key):
+                return S.ddpm_sample_plain(gd, params, cond, key, mmv)
+        return jax.jit(fn)
+
+    # ------------------------------------------------------------------
+    def translate(
+        self,
+        lr: np.ndarray,
+        hr: Optional[np.ndarray] = None,
+        key=None,
+        mask: Optional[np.ndarray] = None,
+    ) -> Dict[str, np.ndarray]:
+        """One batch through Stage A + Stage B.
+
+        `mask` overrides the detector (the reference's manual-mask path);
+        otherwise the frontend computes it (or uniform ones without one).
+        """
+        key = key if key is not None else jax.random.PRNGKey(0)
+        scfg = self.config.sampler
+        lr_j = jnp.asarray(lr, jnp.float32)
+
+        amap = None
+        if mask is None:
+            if self.frontend is not None and scfg.ood_ad:
+                mask, binary, amap = self.frontend.detect(np.asarray(lr))
+            else:
+                mask = np.ones(
+                    (lr.shape[0], self.gd.image_size, self.gd.image_size, 1),
+                    np.float32,
+                )
+
+        # uniform-ones mask → plain chain (reference ddpm.py:1110-1117)
+        uniform = bool(np.all(mask == 1.0))
+        branch = scfg.branch_out and not uniform
+
+        t0 = time.perf_counter()
+        if branch:
+            if self._branched_fn is None:
+                self._branched_fn = self._compile_branched()
+            out = self._branched_fn(self.params, lr_j, jnp.asarray(mask), key)
+        else:
+            if self._plain_fn is None:
+                self._plain_fn = self._compile_plain()
+            out = self._plain_fn(self.params, lr_j, key)
+        out = jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+
+        result: Dict[str, np.ndarray] = {
+            "pred": np.asarray(out),
+            "mask": np.asarray(mask),
+            "time": np.asarray(dt),
+            "branched": np.asarray(branch),
+        }
+        if amap is not None:
+            result["anomaly_map"] = amap
+        if hr is not None:
+            hr_j = jnp.asarray(hr, jnp.float32)
+            result["mse"] = np.asarray(mse(out, hr_j))
+            result["ssim"] = np.asarray(ssim(out, hr_j, data_range=float(self.min_max_val[1])))
+            result["psnr"] = np.asarray(psnr(out, hr_j, data_range=float(self.min_max_val[1])))
+        return result
+
+    # ------------------------------------------------------------------
+    def run(
+        self, pairs, key=None, save_prefix: Optional[str] = None, verbose: bool = True
+    ) -> Dict[str, np.ndarray]:
+        """Full evaluation loop over (hr, lr) pairs (reference test.py:180-445).
+
+        Collects hr/lr/pred/mask stacks, mean MSE and mean per-image sampling
+        time; optionally dumps {prefix}hr_all.npy etc. like the reference
+        (test.py:429-442).
+        """
+        key = key if key is not None else jax.random.PRNGKey(0)
+        hrs, lrs, preds, masks, losses, times = [], [], [], [], [], []
+        for i, (hr, lr) in enumerate(pairs):
+            key, sub = jax.random.split(key)
+            r = self.translate(lr, hr=hr, key=sub)
+            hrs.append(hr)
+            lrs.append(lr)
+            preds.append(r["pred"])
+            masks.append(r["mask"])
+            losses.append(float(r["mse"]))
+            times.append(float(r["time"]))
+            if verbose:
+                print(
+                    f"[{i}] mse={losses[-1]:.5f} ssim={float(r['ssim']):.4f} "
+                    f"time={times[-1]:.3f}s branched={bool(r['branched'])}"
+                )
+        out = {
+            "hr_all": np.concatenate(hrs),
+            "lr_all": np.concatenate(lrs),
+            "pred_all": np.concatenate(preds),
+            "ad_masks": np.concatenate(masks),
+            "mean_mse": np.asarray(np.mean(losses)),
+            "mean_time": np.asarray(np.mean(times[1:]) if len(times) > 1 else times[0]),
+        }
+        if save_prefix is not None:
+            for name in ("hr_all", "lr_all", "pred_all", "ad_masks"):
+                np.save(f"{save_prefix}{name}.npy", out[name])
+        if verbose:
+            print(f"Test loss: {float(out['mean_mse']):.4f}")
+            print(f"Average sampling time: {float(out['mean_time']):.4f}")
+        return out

@@ -1,0 +1,308 @@
+"""Training runtime: TrainState, EMA, pjit train steps, checkpointing.
+
+TPU-native equivalent of the reference Trainer (reference ddpm.py:1252-1607),
+which wraps HF Accelerate (DDP/NCCL), ema_pytorch and torch.save.  Here:
+
+  * the train step is ONE jitted pure function (params, opt_state, ema,
+    batch, rng) → (new state, loss); under a Mesh the batch is sharded over
+    the 'data' axis and XLA emits the gradient all-reduce on ICI (the DDP
+    equivalent of ddpm.py:1281-1284, 1553),
+  * EMA is an extra param pytree updated inside the jitted step, replicating
+    ema_pytorch's warmup/decay schedule (beta .995, update_every 10,
+    update_after_step 100, power 2/3),
+  * 'epoch' step mode reproduces the reference's full-dataset gradient
+    accumulation — iterate the whole dataloader accumulating loss/len(dl)
+    then ONE optimizer step (ddpm.py:1543-1561),
+  * checkpoints are Orbax: {step, params, opt_state, ema_params}
+    (the torch.save dict equivalent of ddpm.py:1495-1527).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Any, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from localdiffusion_tpu.config import TrainConfig
+from localdiffusion_tpu.diffusion.gaussian import GaussianDiffusion
+
+
+@struct.dataclass
+class EmaConfig:
+    beta: float = 0.995
+    update_every: int = 10
+    update_after_step: int = 100
+    inv_gamma: float = 1.0
+    power: float = 2.0 / 3.0
+    min_value: float = 0.0
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray  # scalar int32
+    params: Any
+    opt_state: Any
+    ema_params: Any
+
+
+def ema_decay_for_step(step: jnp.ndarray, cfg: EmaConfig) -> jnp.ndarray:
+    """ema_pytorch's warmup decay: 0 until update_after_step, then
+    clamp(1 − (1 + s/inv_gamma)^(−power), min_value, beta)."""
+    s = jnp.maximum(step - cfg.update_after_step - 1, 0).astype(jnp.float32)
+    value = 1.0 - (1.0 + s / cfg.inv_gamma) ** (-cfg.power)
+    value = jnp.clip(value, cfg.min_value, cfg.beta)
+    return jnp.where(step <= cfg.update_after_step, 0.0, value)
+
+
+def ema_update(ema_params, params, step, cfg: EmaConfig):
+    """EMA update applied every `update_every` steps (no-op otherwise)."""
+    decay = ema_decay_for_step(step, cfg)
+    do_update = (step % cfg.update_every) == 0
+    eff = jnp.where(do_update, decay, 1.0)
+
+    def upd(e, p):
+        return e * eff + p.astype(e.dtype) * (1.0 - eff)
+
+    return jax.tree_util.tree_map(upd, ema_params, params)
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """clip_by_global_norm(1.0) → Adam(1e-4, β=(0.9, 0.99))
+    (reference ddpm.py:1444, 1558)."""
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adam(cfg.lr, b1=cfg.adam_b1, b2=cfg.adam_b2),
+    )
+
+
+class Trainer:
+    """Drives training of a GaussianDiffusion model.
+
+    Host-side orchestration only: all device math lives in jitted pure
+    functions.  Multi-chip: pass a `jax.sharding.Mesh`; batches are sharded
+    on the 'data' axis, params/EMA replicated.
+    """
+
+    def __init__(
+        self,
+        gd: GaussianDiffusion,
+        cfg: TrainConfig,
+        mesh=None,
+        ema_cfg: EmaConfig = EmaConfig(),
+    ):
+        self.gd = gd
+        self.cfg = cfg
+        self.mesh = mesh
+        self.ema_cfg = ema_cfg
+        self.optimizer = make_optimizer(cfg)
+        self._compiled = {}
+        self.results_dir = os.path.join(cfg.results_dir, cfg.project_name)
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng) -> TrainState:
+        params = self.gd.init_params(rng, batch_size=1)
+        opt_state = self.optimizer.init(params)
+        # real copies — EMA leaves must not alias param buffers (donation
+        # would otherwise see the same buffer twice)
+        ema_params = jax.tree_util.tree_map(jnp.copy, params)
+        state = TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema_params,
+        )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            state = jax.device_put(state, rep)
+        return state
+
+    # ------------------------------------------------------------------
+    # jitted step functions
+    # ------------------------------------------------------------------
+    def _shardings(self):
+        if self.mesh is None:
+            return None, None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self.mesh, P())
+        batch_sh = NamedSharding(self.mesh, P("data"))
+        return rep, batch_sh
+
+    def _get(self, name, builder):
+        if name not in self._compiled:
+            self._compiled[name] = builder()
+        return self._compiled[name]
+
+    def train_step_fn(self):
+        """Per-batch step: grad → clip → adam → EMA (step_mode='batch')."""
+
+        def step(state: TrainState, hr, lr, rng):
+            def loss_fn(p):
+                return self.gd.loss(p, rng, hr, lr)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            new_step = state.step + 1
+            ema_params = ema_update(state.ema_params, params, new_step, self.ema_cfg)
+            return (
+                TrainState(
+                    step=new_step,
+                    params=params,
+                    opt_state=opt_state,
+                    ema_params=ema_params,
+                ),
+                loss,
+            )
+
+        def build():
+            rep, batch_sh = self._shardings()
+            if rep is None:
+                return jax.jit(step, donate_argnums=(0,))
+            return jax.jit(
+                step,
+                donate_argnums=(0,),
+                in_shardings=(rep, batch_sh, batch_sh, rep),
+                out_shardings=(rep, rep),
+            )
+
+        return self._get("train_step", build)
+
+    def accum_grad_fn(self):
+        """Gradient accumulation micro-step for 'epoch' mode
+        (reference ddpm.py:1543-1553: loss scaled by 1/num_batches)."""
+
+        def accum(params, grad_acc, loss_acc, hr, lr, rng, scale):
+            def loss_fn(p):
+                return self.gd.loss(p, rng, hr, lr) * scale
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+            return grad_acc, loss_acc + loss
+
+        def build():
+            rep, batch_sh = self._shardings()
+            if rep is None:
+                return jax.jit(accum, donate_argnums=(1,))
+            return jax.jit(
+                accum,
+                donate_argnums=(1,),
+                in_shardings=(rep, rep, rep, batch_sh, batch_sh, rep, None),
+                out_shardings=(rep, rep),
+            )
+
+        return self._get("accum_grad", build)
+
+    def apply_grads_fn(self):
+        """Optimizer apply for accumulated grads + EMA (ddpm.py:1558-1571)."""
+
+        def apply(state: TrainState, grads):
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            new_step = state.step + 1
+            ema_params = ema_update(state.ema_params, params, new_step, self.ema_cfg)
+            return TrainState(
+                step=new_step,
+                params=params,
+                opt_state=opt_state,
+                ema_params=ema_params,
+            )
+
+        def build():
+            rep, _ = self._shardings()
+            if rep is None:
+                return jax.jit(apply, donate_argnums=(0,))
+            return jax.jit(
+                apply,
+                donate_argnums=(0,),
+                in_shardings=(rep, rep),
+                out_shardings=rep,
+            )
+
+        return self._get("apply_grads", build)
+
+    # ------------------------------------------------------------------
+    # epoch step (reference full-dataset accumulation semantics)
+    # ------------------------------------------------------------------
+    def train_epoch_step(
+        self, state: TrainState, batches, rng
+    ) -> Tuple[TrainState, float]:
+        """One optimizer step over an entire epoch of batches
+        (reference ddpm.py:1543-1561)."""
+        accum = self.accum_grad_fn()
+        apply = self.apply_grads_fn()
+        batches = list(batches)
+        n = len(batches)
+        grad_acc = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        loss_acc = jnp.zeros(())
+        scale = jnp.asarray(1.0 / n, jnp.float32)
+        for i, (hr, lr) in enumerate(batches):
+            rng, sub = jax.random.split(rng)
+            grad_acc, loss_acc = accum(
+                state.params, grad_acc, loss_acc, jnp.asarray(hr), jnp.asarray(lr), sub, scale
+            )
+        state = apply(state, grad_acc)
+        return state, float(loss_acc)
+
+    def train_batch_step(self, state, hr, lr, rng):
+        step = self.train_step_fn()
+        state, loss = step(state, jnp.asarray(hr), jnp.asarray(lr), rng)
+        return state, float(loss)
+
+    # ------------------------------------------------------------------
+    # evaluation (reference ddpm.py:1573-1597: EMA sampling MSE)
+    # ------------------------------------------------------------------
+    def eval_sample_mse(self, state, hr, lr, key, min_max_val=(0.0, 2.0)) -> float:
+        from localdiffusion_tpu.diffusion import sampler as S
+
+        out = S.ddpm_sample_plain(
+            self.gd, state.ema_params, jnp.asarray(lr), key, min_max_val
+        )
+        return float(jnp.mean((out - jnp.asarray(hr)) ** 2))
+
+    # ------------------------------------------------------------------
+    # checkpointing (reference ddpm.py:1495-1527 → Orbax)
+    # ------------------------------------------------------------------
+    def save(self, state: TrainState, milestone: str) -> str:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.results_dir, f"model-{milestone}"))
+        os.makedirs(self.results_dir, exist_ok=True)
+        ckptr = ocp.StandardCheckpointer()
+        state_host = jax.device_get(state)
+        ckptr.save(path, state_host, force=True)
+        ckptr.wait_until_finished()
+        return path
+
+    def load(self, milestone: str, rng=None) -> TrainState:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.results_dir, f"model-{milestone}"))
+        ckptr = ocp.StandardCheckpointer()
+        template = jax.device_get(self.init_state(rng if rng is not None else jax.random.PRNGKey(0)))
+        restored = ckptr.restore(path, template)
+        state = restored
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+        return state
+
+
+def round_milestone(step: int) -> str:
+    """Rounded milestone names (reference ddpm.py:1529-1530 round_num)."""
+    if step < 100:
+        return str(step)
+    return str(int(round(step / 100.0) * 100))

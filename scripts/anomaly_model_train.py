@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Build the PatchCore memory bank (reference anomaly_model_train.py equivalent).
+
+Streams the training set through the feature extractor, concatenates patch
+embeddings, coreset-subsamples 10% via k-center greedy, and saves
+memory_bank_<dataset>.npy (reference anomaly_model_train.py:252-385).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="config.yaml")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--ratio", type=float, default=0.1)
+    ap.add_argument("--max-images", type=int, default=200)
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args()
+
+    from scripts.train import load_config
+
+    cfg = load_config(args.config)
+
+    from localdiffusion_tpu.data import MNISTDataset, load_mnist_arrays, synthetic_digits
+    from localdiffusion_tpu.ood.classifier import preprocess_for_patchcore
+    from localdiffusion_tpu.ood.patchcore import PatchCore
+
+    if cfg.data.name == "mnist":
+        try:
+            imgs, labels = load_mnist_arrays(
+                cfg.data.mnist_path, cfg.data.mnist_labels_path
+            )
+        except (FileNotFoundError, OSError):
+            imgs, labels = synthetic_digits(512, seed=42)
+        # normal class = digit 8 (the IND digit; reference uses the train set
+        # of the source class, anomaly_model_train.py:262-280)
+        ds = MNISTDataset(imgs, labels, num=[8], max_file=args.max_images)
+        _, lr, _ = ds.as_arrays()
+    else:
+        raise NotImplementedError("mri/mvtec memory banks: supply images via --config")
+
+    pc = PatchCore(cfg.ood, rng=jax.random.PRNGKey(0))
+    batches = []
+    for i in range(0, len(lr), args.batch):
+        x = preprocess_for_patchcore(lr[i : i + args.batch], cfg.ood.input_size)
+        batches.append(np.asarray(x))
+    bank = pc.build_memory_bank(batches, sampling_ratio=args.ratio)
+    out = args.out or f"memory_bank_{cfg.data.name}.npy"
+    np.save(out, bank)
+    print(f"saved {out}: {bank.shape}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Inference pipeline: OOD detect → branched local diffusion → metrics.
+
+Reference test.py equivalent.  Usage:
+    python scripts/test.py [--config config.yaml] [--milestone best] \
+        [--detector patchcore|seg|manual|none] [--max-images N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="config.yaml")
+    ap.add_argument("--milestone", default="best")
+    ap.add_argument("--detector", default=None,
+                    help="override ood detector (patchcore|seg|manual|none)")
+    ap.add_argument("--max-images", type=int, default=100)
+    ap.add_argument("--save-prefix", default="")
+    args = ap.parse_args()
+
+    from scripts.train import load_config
+
+    cfg = load_config(args.config)
+    if args.detector:
+        import dataclasses
+
+        cfg = cfg.replace(ood=dataclasses.replace(cfg.ood, detector=args.detector))
+
+    from localdiffusion_tpu.data import MNISTDataset, load_mnist_arrays, synthetic_digits
+    from localdiffusion_tpu.diffusion.gaussian import GaussianDiffusion
+    from localdiffusion_tpu.ood.frontend import OODFrontend
+    from localdiffusion_tpu.ood.patchcore import PatchCore
+    from localdiffusion_tpu.pipeline import LocalDiffusionPipeline
+    from localdiffusion_tpu.train.trainer import Trainer
+
+    np.random.seed(0)
+
+    gd = GaussianDiffusion(cfg.model, cfg.diffusion)
+    trainer = Trainer(gd, cfg.train)
+    try:
+        state = trainer.load(args.milestone)
+        print(f"loaded milestone {args.milestone}")
+    except Exception as e:
+        print(f"WARNING: no checkpoint ({e}); using random init")
+        state = trainer.init_state(jax.random.PRNGKey(0))
+    params = state.ema_params  # EMA model for eval (reference test.py:144-147)
+
+    # OOD-test dataset: the anomalous digit class (reference test.py:66-89)
+    if cfg.data.name == "mnist":
+        try:
+            imgs, labels = load_mnist_arrays(
+                cfg.data.mnist_path.replace("train-", "t10k-"),
+                cfg.data.mnist_labels_path.replace("train-", "t10k-"),
+            )
+        except (FileNotFoundError, OSError):
+            print("MNIST test files not found — synthetic")
+            imgs, labels = synthetic_digits(256, seed=0)
+        num = cfg.data.anomaly_name
+        ds = MNISTDataset(imgs, labels, num=[num], max_file=args.max_images)
+        hr, lr, _ = ds.as_arrays()
+    else:
+        raise NotImplementedError("mri/mvtec flows: see docs/DATASETS.md")
+
+    frontend = None
+    if cfg.sampler.ood_ad and cfg.ood.detector != "none":
+        pc = None
+        if cfg.ood.detector == "patchcore":
+            mb = None
+            if cfg.ood.memory_bank_path and os.path.exists(cfg.ood.memory_bank_path):
+                mb = np.load(cfg.ood.memory_bank_path)
+                print(f"loaded memory bank {mb.shape}")
+            pc = PatchCore(cfg.ood, memory_bank=mb)
+            if mb is None:
+                print("no memory bank — building from the conditioning stream")
+                from localdiffusion_tpu.ood.classifier import preprocess_for_patchcore
+
+                prep = preprocess_for_patchcore(
+                    np.asarray(lr[:16]), cfg.ood.input_size
+                )
+                pc.build_memory_bank([np.asarray(prep)])
+        frontend = OODFrontend(cfg, patchcore=pc)
+
+    pipe = LocalDiffusionPipeline(cfg, gd, params, frontend=frontend)
+    pairs = [(hr[i : i + 1], lr[i : i + 1]) for i in range(len(hr))]
+    out = pipe.run(pairs, key=jax.random.PRNGKey(10), save_prefix=args.save_prefix)
+    print(f"Test loss: {float(out['mean_mse']):.4f}")
+
+
+if __name__ == "__main__":
+    main()

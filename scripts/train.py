@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Train the conditional diffusion model (reference main.py equivalent).
+
+Usage:
+    python scripts/train.py [--config configs/mnist_train.yaml] [--steps N]
+
+Accepts both this framework's structured YAML and the reference's flat
+config_train.yaml format (auto-detected).  Reference flow (main.py:17-28):
+seed 42, build Unet + GaussianDiffusion + Trainer, trainer.train().
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+
+def load_config(path):
+    import yaml
+
+    from localdiffusion_tpu.config import Config, reference_dict_to_config
+
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    if "model" in raw and isinstance(raw.get("model"), dict):
+        return Config.from_dict(raw)
+    return reference_dict_to_config(raw)
+
+
+def build_dataset(cfg):
+    from localdiffusion_tpu.data import MNISTDataset, load_mnist_arrays, synthetic_digits
+
+    name = cfg.data.name
+    if name == "mnist":
+        try:
+            imgs, labels = load_mnist_arrays(
+                cfg.data.mnist_path, cfg.data.mnist_labels_path
+            )
+        except (FileNotFoundError, OSError):
+            print("MNIST files not found — using synthetic digits")
+            imgs, labels = synthetic_digits(2048, seed=42)
+        # reference 70% train split over digit-8 images (ddpm.py:1330-1359)
+        n = len(imgs)
+        split = int(0.7 * n)
+        train_ds = MNISTDataset(imgs[:split], labels[:split], num=[8])
+        test_ds = MNISTDataset(imgs[split:], labels[split:], num=[8], max_file=100)
+        return train_ds.as_arrays()[:2], test_ds.as_arrays()[:2]
+    if name == "synthetic":
+        from localdiffusion_tpu.data import synthetic_digits
+
+        imgs, labels = synthetic_digits(512, seed=42, digit=8)
+        ds = MNISTDataset(imgs, labels)
+        hr, lr, _ = ds.as_arrays()
+        return (hr[:400], lr[:400]), (hr[400:], lr[400:])
+    raise NotImplementedError(f"dataset {name}: use scripts for mri/mvtec flows")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="config_train.yaml")
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--results", default=None)
+    ap.add_argument("--step-mode", choices=["epoch", "batch"], default="epoch")
+    args = ap.parse_args()
+
+    cfg = load_config(args.config)
+    if args.results:
+        cfg = cfg.replace(train=cfg.train.__class__(
+            **{**cfg.train.__dict__, "results_dir": args.results}))
+
+    from localdiffusion_tpu.data import ArrayLoader
+    from localdiffusion_tpu.diffusion.gaussian import GaussianDiffusion
+    from localdiffusion_tpu.train.trainer import Trainer
+
+    np.random.seed(42)
+    key = jax.random.PRNGKey(42)
+
+    gd = GaussianDiffusion(cfg.model, cfg.diffusion)
+    trainer = Trainer(gd, cfg.train)
+    state = trainer.init_state(key)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    print(f"Total number of parameters: {n_params}")
+
+    (hr_tr, lr_tr), (hr_te, lr_te) = build_dataset(cfg)
+    print(f"train {len(hr_tr)} / test {len(hr_te)} samples")
+    dl = ArrayLoader(hr_tr, lr_tr, batch_size=args.batch_size, seed=42)
+
+    steps = args.steps if args.steps is not None else cfg.train.num_steps
+    save_every = max(1, steps // 4)
+    best = float("inf")
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    t0 = time.time()
+    losses = []
+    for step in range(steps):
+        rng, sub = jax.random.split(rng)
+        if args.step_mode == "epoch":
+            state, loss = trainer.train_epoch_step(state, dl.epoch_batches(step), sub)
+        else:
+            hr_b, lr_b = next(iter(dl.epoch_batches(step)))
+            state, loss = trainer.train_batch_step(state, hr_b, lr_b, sub)
+        losses.append((step, loss))
+        if step % 10 == 0 or step == steps - 1:
+            print(f"step {step}: loss {loss:.5f} ({time.time() - t0:.1f}s)")
+        if (step + 1) % save_every == 0 or step == steps - 1:
+            ek = jax.random.PRNGKey(0)
+            m = trainer.eval_sample_mse(state, hr_te[:8], lr_te[:8], ek)
+            print(f"  eval sample MSE: {m:.5f}")
+            if m < best:
+                best = m
+                from localdiffusion_tpu.train.trainer import round_milestone
+
+                trainer.save(state, "best" + round_milestone(step + 1))
+                print(f"  saved best{round_milestone(step + 1)}")
+    trainer.save(state, "latest")
+    # loss CSV like the reference (ddpm.py:1563-1565)
+    import pandas as pd
+
+    os.makedirs(trainer.results_dir, exist_ok=True)
+    pd.DataFrame(losses, columns=["step", "loss"]).to_csv(
+        os.path.join(trainer.results_dir, "train_loss.csv"), index=False
+    )
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,212 @@
+"""Sampler semantics tests with oracle denoisers.
+
+These verify the branched/fused scan programs against analytically-known
+outcomes: a pred_x0 oracle that returns its target exactly makes the
+ancestral chain land on the target at t=0 (posterior_mean_coef1[0] == 1),
+and an oracle returning the conditioning image makes branched local
+diffusion reconstruct the mask-recombined conditioning exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from localdiffusion_tpu.config import DiffusionConfig, ModelConfig, SamplerConfig
+from localdiffusion_tpu.diffusion.gaussian import GaussianDiffusion
+from localdiffusion_tpu.diffusion import sampler as S
+
+KEY = jax.random.PRNGKey(0)
+MMV = (0.0, 2.0)
+
+
+def tiny_gd(timesteps=10, sampling_timesteps=None, image_size=8):
+    mcfg = ModelConfig(
+        dim=8, dim_mults=(1, 2), full_attn=(False, True), channels=1,
+    )
+    dcfg = DiffusionConfig(
+        image_size=image_size, timesteps=timesteps,
+        sampling_timesteps=sampling_timesteps, objective="pred_x0",
+    )
+    return GaussianDiffusion(mcfg, dcfg)
+
+
+def oracle_gd(target=None, **kw):
+    """GaussianDiffusion whose 'model' deterministically returns a fixed
+    target (or the passthrough cond features) as its pred_x0 output."""
+    gd = tiny_gd(**kw)
+    gd.encode_cond = lambda params, cond: cond  # passthrough features
+
+    def apply_model(params, x, cond, t, cond_feat=None):
+        if target is not None:
+            return jnp.broadcast_to(target, x.shape)
+        return cond_feat  # echo the (partitioned) conditioning image
+
+    gd.apply_model = apply_model
+    return gd
+
+
+def test_ddpm_plain_oracle_lands_on_target():
+    target = jnp.full((1, 8, 8, 1), 1.25)
+    gd = oracle_gd(target=target)
+    cond = jnp.zeros((1, 8, 8, 1))
+    out = S.ddpm_sample_plain(gd, {}, cond, KEY, MMV)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(target), rtol=1e-5)
+
+
+def test_ddpm_plain_real_unet_shapes_and_jit():
+    gd = tiny_gd()
+    params = gd.init_params(KEY)
+    cond = jnp.zeros((2, 8, 8, 1))
+    fn = jax.jit(lambda p, c, k: S.ddpm_sample_plain(gd, p, c, k, MMV))
+    out = fn(params, cond, KEY)
+    assert out.shape == (2, 8, 8, 1)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # clip_denoised keeps the chain in a sane range at t=0
+    assert float(out.min()) >= MMV[0] - 1e-5 and float(out.max()) <= MMV[1] + 1e-5
+
+
+def _left_mask(b=1, s=8, cols=3):
+    m = np.zeros((b, s, s, 1), np.float32)
+    m[:, :, :cols, :] = 1.0
+    return jnp.asarray(m)
+
+
+def test_ddpm_branched_oracle_reconstructs_cond():
+    """With an echo oracle, fused local diffusion returns exactly
+    cond·m + cond·(1−m) = cond."""
+    gd = oracle_gd()
+    cond = jnp.asarray(
+        np.random.default_rng(0).uniform(0.2, 1.8, (1, 8, 8, 1)).astype(np.float32)
+    )
+    mask = _left_mask()
+    scfg = SamplerConfig(start_timestep=2, mask_x=True, mask_x_policy="cond",
+                         cond_in_floor=0.5)
+    out = S.ddpm_sample_branched(gd, {}, cond, mask, KEY, scfg, MMV)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(cond), rtol=1e-4, atol=1e-5)
+
+
+def test_ddpm_branched_no_intermediate_returns_pair():
+    gd = oracle_gd()
+    cond = jnp.ones((1, 8, 8, 1))
+    mask = _left_mask()
+    scfg = SamplerConfig(start_intermediate=False)
+    out = S.ddpm_sample_branched(gd, {}, cond, mask, KEY, scfg, MMV)
+    assert out.shape == (2, 1, 8, 8, 1)
+
+
+def test_ddpm_branched_real_unet_jits():
+    gd = tiny_gd()
+    params = gd.init_params(KEY)
+    cond = jnp.ones((1, 8, 8, 1))
+    mask = _left_mask()
+    scfg = SamplerConfig(start_timestep=2)
+    fn = jax.jit(
+        lambda p, c, m, k: S.ddpm_sample_branched(gd, p, c, m, k, scfg, MMV)
+    )
+    out = fn(params, cond, mask, KEY)
+    assert out.shape == (1, 8, 8, 1)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_uniform_mask_bypasses_branching():
+    """Detector found nothing → plain chain (reference ddpm.py:1110-1117)."""
+    target = jnp.full((1, 8, 8, 1), 0.75)
+    gd = oracle_gd(target=target)
+    cond = jnp.zeros((1, 8, 8, 1))
+    ones_mask = jnp.ones((1, 8, 8, 1))
+    scfg = SamplerConfig()
+    out = S.sample(gd, {}, cond, KEY, scfg, MMV, mask=ones_mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(target), rtol=1e-5)
+
+
+def test_use_gt_shortens_chain():
+    gd = tiny_gd(timesteps=20)
+    params = gd.init_params(KEY)
+    cond = jnp.zeros((1, 8, 8, 1))
+    gt = jnp.full((1, 8, 8, 1), 1.0)
+    out = S.ddpm_sample_plain(gd, params, cond, KEY, MMV, gt=gt, use_gt_timestep=5)
+    assert out.shape == (1, 8, 8, 1)
+
+
+def test_ddim_times_grid():
+    ts = S.ddim_times(250, 50)
+    assert ts[0] == 249 and ts[-1] == -1
+    assert len(ts) == 51
+    assert all(ts[i] > ts[i + 1] for i in range(len(ts) - 1))
+
+
+def test_ddim_plain_oracle_lands_on_target():
+    target = jnp.full((1, 8, 8, 1), 1.5)
+    gd = oracle_gd(target=target, timesteps=20, sampling_timesteps=5)
+    assert gd.is_ddim_sampling
+    cond = jnp.zeros((1, 8, 8, 1))
+    out = S.ddim_sample_plain(gd, {}, cond, KEY, MMV)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(target), rtol=1e-5)
+
+
+def test_ddim_branched_oracle():
+    gd = oracle_gd(timesteps=20, sampling_timesteps=5)
+    cond = jnp.asarray(
+        np.random.default_rng(1).uniform(0.2, 1.8, (1, 8, 8, 1)).astype(np.float32)
+    )
+    mask = _left_mask()
+    scfg = SamplerConfig(start_timestep=1)
+    out = S.ddim_sample_branched(gd, {}, cond, mask, KEY, scfg, MMV)
+    assert out.shape == (1, 8, 8, 1)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # inside the OOD mask the echo oracle pins the output to cond
+    m = np.asarray(_left_mask())[0, :, :, 0].astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(out)[0, :, :, 0][m], np.asarray(cond)[0, :, :, 0][m], rtol=1e-4
+    )
+
+
+def test_fuse_noisy_states_routes():
+    m = jnp.asarray([[1.0, 0.0]])
+    x_out = jnp.asarray([[0.5, 0.0]])  # masked: zero outside
+    x_in = jnp.asarray([[0.0, 0.7]])  # masked: zero inside
+    zs = S.fuse_noisy_states(x_out, x_in, m, "zero_sentinel")
+    np.testing.assert_allclose(np.asarray(zs), [[0.5, 0.7]])
+    mk = S.fuse_noisy_states(x_out, x_in, m, "mask")
+    np.testing.assert_allclose(np.asarray(mk), [[0.5, 0.7]])
+    # a genuinely-zero pixel inside the mask is misrouted by the sentinel
+    x_out2 = jnp.asarray([[0.0, 0.0]])
+    x_in2 = jnp.asarray([[0.9, 0.7]])  # unmasked value leaks through
+    zs2 = S.fuse_noisy_states(x_out2, x_in2, m, "zero_sentinel")
+    np.testing.assert_allclose(np.asarray(zs2), [[0.9, 0.7]])
+    mk2 = S.fuse_noisy_states(x_out2, x_in2, m, "mask")
+    np.testing.assert_allclose(np.asarray(mk2), [[0.0, 0.7]])
+
+
+def test_partition_cond_floors():
+    cond = jnp.ones((1, 2, 2, 1))
+    m = jnp.zeros((1, 2, 2, 1)).at[0, 0, 0, 0].set(1.0)
+    cond_out, cond_in = S.partition_cond(cond, m, 0.5)
+    assert float(cond_out[0, 0, 0, 0]) == 1.0
+    assert float(cond_out[0, 1, 1, 0]) == 0.0
+    assert float(cond_in[0, 0, 0, 0]) == 0.5  # floor keeps OOD info
+    assert float(cond_in[0, 1, 1, 0]) == 1.0
+
+
+def test_classifier_gate_accept_vs_reject():
+    gd = oracle_gd()
+    cond = jnp.asarray(
+        np.random.default_rng(2).uniform(0.2, 1.8, (1, 8, 8, 1)).astype(np.float32)
+    )
+    mask = _left_mask()
+    scfg = SamplerConfig(start_timestep=4, classifier=True)
+
+    always_accept = lambda xs: jnp.ones((xs.shape[0],))
+    always_reject = lambda xs: -jnp.ones((xs.shape[0],))
+
+    out_a = S.ddpm_sample_branched(
+        gd, {}, cond, mask, KEY, scfg, MMV, classifier_fn=always_accept
+    )
+    out_r = S.ddpm_sample_branched(
+        gd, {}, cond, mask, KEY, scfg, MMV, classifier_fn=always_reject
+    )
+    assert out_a.shape == out_r.shape == (1, 8, 8, 1)
+    assert bool(jnp.all(jnp.isfinite(out_a))) and bool(jnp.all(jnp.isfinite(out_r)))
+    # with the echo oracle both converge to cond regardless of gating
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(cond), rtol=1e-4, atol=1e-5)
