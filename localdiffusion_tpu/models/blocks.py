@@ -79,8 +79,41 @@ class TimeMlp(nn.Module):
         return x
 
 
+class FusedGroupNormFilmSiLU(nn.Module):
+    """GroupNorm + FiLM + SiLU dispatching to the Pallas fused kernel on TPU.
+
+    Param tree matches flax nn.GroupNorm ({scale, bias}) so checkpoints are
+    interchangeable with the unfused path.
+    """
+
+    groups: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, scale_shift=None):
+        c = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        from localdiffusion_tpu.ops.pallas_groupnorm import groupnorm_film_silu
+
+        if scale_shift is not None:
+            scale, shift = scale_shift
+            # FiLM params arrive as [B, 1, 1, C]
+            scale = scale.reshape(scale.shape[0], -1).astype(jnp.float32)
+            shift = shift.reshape(shift.shape[0], -1).astype(jnp.float32)
+        else:
+            scale = shift = None
+        return groupnorm_film_silu(
+            x, gamma, beta, scale, shift, groups=self.groups
+        ).astype(self.dtype)
+
+
 class Block(nn.Module):
-    """conv3×3 → GroupNorm → (FiLM scale/shift) → SiLU (reference ddpm.py:170-186)."""
+    """conv3×3 → GroupNorm → (FiLM scale/shift) → SiLU (reference ddpm.py:170-186).
+
+    The norm/modulate/activate chain runs as one fused Pallas kernel on TPU
+    (ops/pallas_groupnorm.py); the conv stays on the MXU via XLA.
+    """
 
     dim_out: int
     groups: int = 8
@@ -93,11 +126,9 @@ class Block(nn.Module):
         scale_shift: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ) -> jnp.ndarray:
         x = nn.Conv(self.dim_out, (3, 3), padding=1, dtype=self.dtype, name="proj")(x)
-        x = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="norm")(x)
-        if scale_shift is not None:
-            scale, shift = scale_shift
-            x = x * (scale + 1.0) + shift
-        return nn.silu(x)
+        return FusedGroupNormFilmSiLU(self.groups, self.dtype, name="norm")(
+            x, scale_shift
+        )
 
 
 class ResnetBlock(nn.Module):

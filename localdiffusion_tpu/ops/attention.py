@@ -47,11 +47,18 @@ def register_pallas_impl(fn) -> None:
     _PALLAS_IMPL = fn
 
 
+_TRIED_PALLAS = False
+
+
 def full_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float | None = None
 ) -> jnp.ndarray:
     """Dispatch full attention: Pallas kernel on TPU for long sequences,
     XLA einsum otherwise (the TPU analog of attend.py's flash dispatch)."""
+    global _TRIED_PALLAS
+    if not _TRIED_PALLAS:
+        try_enable_pallas()
+        _TRIED_PALLAS = True
     n = q.shape[1]
     if _PALLAS_IMPL is not None and n >= _PALLAS_MIN_TOKENS:
         return _PALLAS_IMPL(q, k, v, scale)

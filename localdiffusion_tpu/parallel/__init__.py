@@ -1,0 +1,14 @@
+from localdiffusion_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    branch_batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from localdiffusion_tpu.parallel.patch import (  # noqa: F401
+    PatchGrid,
+    extract_patches,
+    patch_parallel_sample,
+    plan_patches,
+    stitch_patches,
+)

@@ -1,0 +1,155 @@
+"""Patch-parallel local diffusion: tile → sample-per-patch → overlap-stitch.
+
+The reference's local-diffusion mechanism partitions ONE image into IND/OOD
+regions (reference ddpm.py:677-689) and runs the two branches sequentially.
+This module generalizes that partitioning into the mesh-scale axis
+(BASELINE.json config 5): a large image (or a stack of volumes) is tiled
+into overlapping patches, every patch runs the full branched sampler as one
+big batch sharded over the ('data','patch') mesh axes, and the results are
+stitched with overlap feathering — gather/scatter, not ring attention
+(SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class PatchGrid:
+    """Static tiling geometry."""
+
+    image_hw: Tuple[int, int]
+    patch: int
+    stride: int  # patch - overlap
+    origins: Tuple[Tuple[int, int], ...]  # (y, x) top-left corners
+
+    @property
+    def num_patches(self) -> int:
+        return len(self.origins)
+
+
+def plan_patches(h: int, w: int, patch: int, overlap: int = 0) -> PatchGrid:
+    """Cover [h, w] with patches of size `patch`, stepping patch-overlap;
+    the last row/column is clamped to the border (full coverage, static)."""
+    assert patch <= h and patch <= w
+    stride = patch - overlap
+    assert stride > 0
+
+    def starts(dim):
+        s = list(range(0, dim - patch + 1, stride))
+        if s[-1] != dim - patch:
+            s.append(dim - patch)
+        return s
+
+    origins = tuple((y, x) for y in starts(h) for x in starts(w))
+    return PatchGrid((h, w), patch, stride, origins)
+
+
+def extract_patches(img: jnp.ndarray, grid: PatchGrid) -> jnp.ndarray:
+    """[B, H, W, C] → [B·P, p, p, C] (patch-major within each image)."""
+    p = grid.patch
+    parts = [
+        jax.lax.dynamic_slice(
+            img, (0, y, x, 0), (img.shape[0], p, p, img.shape[-1])
+        )
+        for (y, x) in grid.origins
+    ]
+    stacked = jnp.stack(parts, axis=1)  # [B, P, p, p, C]
+    return stacked.reshape(-1, p, p, img.shape[-1])
+
+
+def _feather_weight(patch: int, overlap: int) -> np.ndarray:
+    """Separable linear ramp over the overlap margin (1 in the interior)."""
+    w1 = np.ones(patch, np.float32)
+    if overlap > 0:
+        ramp = (np.arange(1, overlap + 1, dtype=np.float32)) / (overlap + 1)
+        w1[:overlap] = ramp
+        w1[-overlap:] = ramp[::-1]
+    return np.outer(w1, w1)
+
+
+def stitch_patches(
+    patches: jnp.ndarray, grid: PatchGrid, batch: int, overlap: int = 0
+) -> jnp.ndarray:
+    """[B·P, p, p, C] → [B, H, W, C] with overlap feathering (scatter-add)."""
+    p = grid.patch
+    h, w = grid.image_hw
+    c = patches.shape[-1]
+    pp = patches.reshape(batch, grid.num_patches, p, p, c)
+    weight = jnp.asarray(_feather_weight(p, overlap))[None, :, :, None]
+
+    out = jnp.zeros((batch, h, w, c), patches.dtype)
+    norm = jnp.zeros((batch, h, w, 1), jnp.float32)
+    for i, (y, x) in enumerate(grid.origins):
+        out = jax.lax.dynamic_update_slice(
+            out,
+            jax.lax.dynamic_slice(out, (0, y, x, 0), (batch, p, p, c))
+            + pp[:, i] * weight,
+            (0, y, x, 0),
+        )
+        norm = jax.lax.dynamic_update_slice(
+            norm,
+            jax.lax.dynamic_slice(norm, (0, y, x, 0), (batch, p, p, 1)) + weight,
+            (0, y, x, 0),
+        )
+    return out / jnp.maximum(norm, 1e-8)
+
+
+def patch_parallel_sample(
+    gd,
+    params,
+    cond: jnp.ndarray,
+    mask: jnp.ndarray,
+    key,
+    scfg,
+    min_max_val,
+    patch: int,
+    overlap: int = 0,
+    mesh=None,
+):
+    """Branched local diffusion over a tiled batch of patches.
+
+    cond/mask: [B, H, W, C] at full resolution; every patch becomes an
+    independent chain in one [B·P] batch (sharded over the mesh when given),
+    so the reference's per-image sequential loop (test.py:190) becomes one
+    compiled SPMD program.
+
+    Patches whose mask tile is uniformly one run the same branched program
+    (their OOD branch sees empty conditioning, and fusion reduces to the IND
+    estimate) — keeping the batch shape static for XLA.
+    """
+    from localdiffusion_tpu.diffusion import sampler as S
+
+    b, h, w, c = cond.shape
+    grid = plan_patches(h, w, patch, overlap)
+    cond_p = extract_patches(cond, grid)
+    mask_p = extract_patches(mask, grid)
+
+    # patch sampling runs at the patch resolution
+    import copy
+
+    gd_patch = copy.copy(gd)
+    gd_patch.image_size = patch
+
+    def run(params, cond_p, mask_p, key):
+        return S.ddpm_sample_branched(
+            gd_patch, params, cond_p, mask_p, key, scfg, min_max_val
+        )
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        flat = NamedSharding(mesh, P(("data", "patch")))
+        fn = jax.jit(run, in_shardings=(rep, flat, flat, None))
+    else:
+        fn = jax.jit(run)
+
+    out_p = fn(params, cond_p, mask_p, key)
+    return stitch_patches(out_p, grid, b, overlap)
