@@ -45,7 +45,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
-def _flash_fwd_impl(q, k, v, scale):
+def _flash_fwd_impl(q, k, v, scale, interpret=False):
     """q, k, v: [B, N, H, D] → [B, N, H, D]."""
     b, n, h, d = q.shape
     bh = b * h
@@ -76,20 +76,21 @@ def _flash_fwd_impl(q, k, v, scale):
             bytes_accessed=3 * bh * n * d * 4 + bh * n * d * 4,
             transcendentals=bh * n * n,
         ),
+        interpret=interpret,
     )(qf, kf, vf)
     return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash(q, k, v, scale):
-    return _flash_fwd_impl(q, k, v, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash(q, k, v, scale, interpret=False):
+    return _flash_fwd_impl(q, k, v, scale, interpret)
 
 
-def _flash_fwd(q, k, v, scale):
-    return _flash_fwd_impl(q, k, v, scale), (q, k, v)
+def _flash_fwd(q, k, v, scale, interpret=False):
+    return _flash_fwd_impl(q, k, v, scale, interpret), (q, k, v)
 
 
-def _flash_bwd(scale, res, g):
+def _flash_bwd(scale, interpret, res, g):
     q, k, v = res
     _, vjp = jax.vjp(lambda q, k, v: xla_attention(q, k, v, scale), q, k, v)
     return vjp(g)
@@ -98,8 +99,12 @@ def _flash_bwd(scale, res, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
-def flash_attention(q, k, v, scale=None):
-    """Fused attention for [B, N, H, D] (Pallas fwd, recompute bwd)."""
+def flash_attention(q, k, v, scale=None, interpret=False):
+    """Fused attention for [B, N, H, D] (Pallas fwd, recompute bwd).
+
+    `interpret=True` runs the kernel in the Pallas interpreter (CPU) — used
+    by the parity tests without TPU hardware.
+    """
     d = q.shape[-1]
     scale = float(d**-0.5 if scale is None else scale)
-    return _flash(q, k, v, scale)
+    return _flash(q, k, v, scale, interpret)

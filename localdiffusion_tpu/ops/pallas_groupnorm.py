@@ -40,23 +40,49 @@ def groupnorm_film_silu_reference(x, gamma, beta, scale, shift, groups, eps=1e-5
 
 def _gn_kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref,
                *, groups: int, eps: float, film: bool):
+    """Group statistics via a one-hot [C, G] matmul — no lane-crossing
+    reshapes (Mosaic-friendly), reductions ride the MXU."""
     x = x_ref[0].astype(jnp.float32)  # [HW, C]
     hw, c = x.shape
     cg = c // groups
 
-    xg = x.reshape(hw, groups, cg)
-    mean = jnp.mean(xg, axis=(0, 2), keepdims=True)  # [1, G, 1]
-    diff = xg - mean
-    var = jnp.mean(diff * diff, axis=(0, 2), keepdims=True)
-    normed = (diff * jax.lax.rsqrt(var + eps)).reshape(hw, c)
+    # onehot[c, g] = 1 iff channel c belongs to group g (trace-time constant)
+    ch_ids = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0)
+    g_ids = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    onehot = (ch_ids // cg == g_ids).astype(jnp.float32)  # [C, G]
 
+    # per-channel column sums, then group-reduce through the onehot matmul
+    col_sum = jnp.sum(x, axis=0, keepdims=True)  # [1, C]
+    col_sumsq = jnp.sum(x * x, axis=0, keepdims=True)  # [1, C]
+    denom = jnp.float32(hw * cg)
+    g_mean = jax.lax.dot_general(
+        col_sum, onehot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / denom  # [1, G]
+    g_meansq = jax.lax.dot_general(
+        col_sumsq, onehot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / denom
+    g_var = g_meansq - g_mean * g_mean
+
+    # broadcast group stats back to channels: [1, G] @ [G, C]
+    mean_c = jax.lax.dot_general(
+        g_mean, onehot, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [1, C]
+    var_c = jax.lax.dot_general(
+        g_var, onehot, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    normed = (x - mean_c) * jax.lax.rsqrt(var_c + eps)
     y = normed * gamma_ref[:] + beta_ref[:]
     if film:
         y = y * (scale_ref[0] + 1.0) + shift_ref[0]
     o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
 
 
-def _gn_fwd_impl(x, gamma, beta, scale, shift, groups, eps):
+def _gn_fwd_impl(x, gamma, beta, scale, shift, groups, eps, interpret=False):
     b, h, w, c = x.shape
     hw = h * w
     film = scale is not None
@@ -83,24 +109,25 @@ def _gn_fwd_impl(x, gamma, beta, scale, shift, groups, eps):
             bytes_accessed=2 * b * hw * c * 4,
             transcendentals=b * hw * c,
         ),
+        interpret=interpret,
     )(xf, gamma.astype(jnp.float32), beta.astype(jnp.float32),
       scale.astype(jnp.float32), shift.astype(jnp.float32))
     return out.reshape(b, h, w, c)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _gn_film_silu(x, gamma, beta, scale, shift, groups, eps):
-    return _gn_fwd_impl(x, gamma, beta, scale, shift, groups, eps)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _gn_film_silu(x, gamma, beta, scale, shift, groups, eps, interpret=False):
+    return _gn_fwd_impl(x, gamma, beta, scale, shift, groups, eps, interpret)
 
 
-def _gn_vjp_fwd(x, gamma, beta, scale, shift, groups, eps):
+def _gn_vjp_fwd(x, gamma, beta, scale, shift, groups, eps, interpret=False):
     return (
-        _gn_fwd_impl(x, gamma, beta, scale, shift, groups, eps),
+        _gn_fwd_impl(x, gamma, beta, scale, shift, groups, eps, interpret),
         (x, gamma, beta, scale, shift),
     )
 
 
-def _gn_vjp_bwd(groups, eps, res, g):
+def _gn_vjp_bwd(groups, eps, interpret, res, g):
     x, gamma, beta, scale, shift = res
     film = scale is not None
 
@@ -125,8 +152,15 @@ def _gn_vjp_bwd(groups, eps, res, g):
 _gn_film_silu.defvjp(_gn_vjp_fwd, _gn_vjp_bwd)
 
 
-def groupnorm_film_silu(x, gamma, beta, scale=None, shift=None, groups=8, eps=1e-5):
-    """Fused GroupNorm+FiLM+SiLU: Pallas on TPU, XLA reference elsewhere."""
-    if jax.default_backend() == "tpu":
-        return _gn_film_silu(x, gamma, beta, scale, shift, groups, eps)
+def groupnorm_film_silu(
+    x, gamma, beta, scale=None, shift=None, groups=8, eps=1e-5, interpret=None
+):
+    """Fused GroupNorm+FiLM+SiLU: Pallas on TPU, XLA reference elsewhere.
+
+    `interpret=True` forces the Pallas interpreter (CPU parity tests).
+    """
+    if interpret or jax.default_backend() == "tpu":
+        return _gn_film_silu(
+            x, gamma, beta, scale, shift, groups, eps, bool(interpret)
+        )
     return groupnorm_film_silu_reference(x, gamma, beta, scale, shift, groups, eps)
