@@ -78,7 +78,8 @@ def _gn_kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref,
     normed = (x - mean_c) * jax.lax.rsqrt(var_c + eps)
     y = normed * gamma_ref[:] + beta_ref[:]
     if film:
-        y = y * (scale_ref[0] + 1.0) + shift_ref[0]
+        i = pl.program_id(0)
+        y = y * (scale_ref[pl.ds(i, 1), :] + 1.0) + shift_ref[pl.ds(i, 1), :]
     o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
 
 
@@ -98,8 +99,10 @@ def _gn_fwd_impl(x, gamma, beta, scale, shift, groups, eps, interpret=False):
             pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # full [B, C] resident; the kernel picks its row by program_id
+            # (a (1, C) row block violates Mosaic's (8, 128) tiling rule)
+            pl.BlockSpec((b, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
