@@ -262,15 +262,93 @@ class Trainer:
         return state, float(loss)
 
     # ------------------------------------------------------------------
+    # device-resident epoch step: the TPU-native fast path
+    # ------------------------------------------------------------------
+    def epoch_resident_fn(self, n: int, batch_size: int):
+        """One optimizer step per epoch as ONE device call.
+
+        The whole (array-resident) dataset stays in HBM; the epoch shuffle is
+        a jax.random.permutation and the microbatch accumulation a lax.scan —
+        no host↔device traffic inside the epoch.  Semantics match the
+        reference's full-dataset accumulation (ddpm.py:1543-1561) with
+        drop-last batching.
+        """
+        nb = n // batch_size
+        assert nb > 0
+
+        def epoch(state: TrainState, data_hr, data_lr, rng):
+            perm_key, rng = jax.random.split(rng)
+            perm = jax.random.permutation(perm_key, n)[: nb * batch_size]
+            hr_b = data_hr[perm].reshape(nb, batch_size, *data_hr.shape[1:])
+            lr_b = data_lr[perm].reshape(nb, batch_size, *data_lr.shape[1:])
+
+            params = state.params
+            scale = 1.0 / nb
+
+            def body(carry, batch):
+                grad_acc, loss_acc, rng = carry
+                hr, lr = batch
+                rng, sub = jax.random.split(rng)
+
+                def loss_fn(p):
+                    return self.gd.loss(p, sub, hr, lr) * scale
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+                return (grad_acc, loss_acc + loss, rng), None
+
+            zero = jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p), params
+            )
+            (grads, loss, _), _ = jax.lax.scan(
+                body, (zero, jnp.zeros(()), rng), (hr_b, lr_b)
+            )
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, params
+            )
+            new_params = optax.apply_updates(params, updates)
+            new_step = state.step + 1
+            ema_params = ema_update(
+                state.ema_params, new_params, new_step, self.ema_cfg
+            )
+            return (
+                TrainState(
+                    step=new_step,
+                    params=new_params,
+                    opt_state=opt_state,
+                    ema_params=ema_params,
+                ),
+                loss,
+            )
+
+        def build():
+            rep, batch_sh = self._shardings()
+            if rep is None:
+                return jax.jit(epoch, donate_argnums=(0,))
+            return jax.jit(
+                epoch,
+                donate_argnums=(0,),
+                in_shardings=(rep, batch_sh, batch_sh, rep),
+                out_shardings=(rep, rep),
+            )
+
+        return self._get(f"epoch_resident_{n}_{batch_size}", build)
+
+    # ------------------------------------------------------------------
     # evaluation (reference ddpm.py:1573-1597: EMA sampling MSE)
     # ------------------------------------------------------------------
     def eval_sample_mse(self, state, hr, lr, key, min_max_val=(0.0, 2.0)) -> float:
         from localdiffusion_tpu.diffusion import sampler as S
 
-        out = S.ddpm_sample_plain(
-            self.gd, state.ema_params, jnp.asarray(lr), key, min_max_val
-        )
-        return float(jnp.mean((out - jnp.asarray(hr)) ** 2))
+        def build():
+            def fn(params, hr, lr, key):
+                out = S.ddpm_sample_plain(self.gd, params, lr, key, min_max_val)
+                return jnp.mean((out - hr) ** 2)
+
+            return jax.jit(fn)
+
+        fn = self._get(f"eval_sampler_{min_max_val}", build)
+        return float(fn(state.ema_params, jnp.asarray(hr), jnp.asarray(lr), key))
 
     # ------------------------------------------------------------------
     # checkpointing (reference ddpm.py:1495-1527 → Orbax)

@@ -68,7 +68,15 @@ def main():
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--results", default=None)
-    ap.add_argument("--step-mode", choices=["epoch", "batch"], default="epoch")
+    ap.add_argument(
+        "--step-mode",
+        choices=["epoch", "batch", "resident"],
+        default="resident",
+        help="'resident' = device-resident epoch scan (one device call per "
+        "epoch, reference accumulation semantics); 'epoch' = streamed "
+        "accumulation; 'batch' = one optimizer step per batch",
+    )
+    ap.add_argument("--eval-every", type=int, default=None)
     args = ap.parse_args()
 
     cfg = load_config(args.config)
@@ -94,14 +102,25 @@ def main():
     dl = ArrayLoader(hr_tr, lr_tr, batch_size=args.batch_size, seed=42)
 
     steps = args.steps if args.steps is not None else cfg.train.num_steps
-    save_every = max(1, steps // 4)
+    save_every = args.eval_every or max(1, steps // 4)
     best = float("inf")
     rng = jax.random.PRNGKey(cfg.train.seed)
     t0 = time.time()
     losses = []
+
+    if args.step_mode == "resident":
+        import jax.numpy as jnp
+
+        data_hr = jnp.asarray(hr_tr)
+        data_lr = jnp.asarray(lr_tr)
+        epoch_fn = trainer.epoch_resident_fn(len(hr_tr), args.batch_size)
+
     for step in range(steps):
         rng, sub = jax.random.split(rng)
-        if args.step_mode == "epoch":
+        if args.step_mode == "resident":
+            state, loss = epoch_fn(state, data_hr, data_lr, sub)
+            loss = float(loss)
+        elif args.step_mode == "epoch":
             state, loss = trainer.train_epoch_step(state, dl.epoch_batches(step), sub)
         else:
             hr_b, lr_b = next(iter(dl.epoch_batches(step)))
