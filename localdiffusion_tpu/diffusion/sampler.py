@@ -177,6 +177,7 @@ def ddpm_sample_branched(
     min_max_val: Tuple[float, float],
     gt: Optional[jnp.ndarray] = None,
     classifier_fn: Optional[ClassifierFn] = None,
+    return_all: bool = False,
 ):
     """Branched local-diffusion DDPM with mid-chain fusion.
 
@@ -231,14 +232,17 @@ def ddpm_sample_branched(
         noise = _noise_like(nk, x_pair[0], t)  # shared across branches
         x_out = mean_out + jnp.exp(0.5 * logvar_out) * noise
         x_in = mean_in + jnp.exp(0.5 * logvar_in) * noise
-        return (jnp.stack([x_out, x_in]), k), None
+        pair = jnp.stack([x_out, x_in])
+        return (pair, k), (pair if return_all else None)
 
     s = int(scfg.start_timestep)
 
     if not scfg.start_intermediate:
         # branched all the way down; returns the pair (ddpm.py:965-970)
         ts = jnp.arange(t_top - 1, -1, -1)
-        (x_pair, _), _ = jax.lax.scan(branched_step, (x_pair, key), ts)
+        (x_pair, _), ys = jax.lax.scan(branched_step, (x_pair, key), ts)
+        if return_all:
+            return x_pair, ys
         return x_pair
 
     # ---- phase A: branched steps t ∈ [T-1 .. s+1] ----
@@ -488,6 +492,46 @@ def ddim_sample_branched(
     rest = pairs[fuse_idx + 1 :]
     if len(rest) > 0:
         (img, _), _ = jax.lax.scan(plain_step, (img, key), jnp.asarray(rest))
+    return img
+
+
+def interpolate(
+    gd: GaussianDiffusion,
+    params,
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    cond: jnp.ndarray,
+    key: jax.Array,
+    min_max_val: Tuple[float, float],
+    t: Optional[int] = None,
+    lam: float = 0.5,
+):
+    """Latent interpolation: noise both endpoints to x_t, lerp, denoise
+    (reference GaussianDiffusion.interpolate, ddpm.py:1127-1145)."""
+    sched = gd.schedule
+    lo, hi = min_max_val
+    b = x1.shape[0]
+    t = gd.num_timesteps - 1 if t is None else int(t)
+    tb = jnp.full((b,), t, dtype=jnp.int32)
+
+    key, k1, k2 = jax.random.split(key, 3)
+    xt1 = dm.q_sample(sched, x1, tb, jax.random.normal(k1, x1.shape))
+    xt2 = dm.q_sample(sched, x2, tb, jax.random.normal(k2, x2.shape))
+    img = (1.0 - lam) * xt1 + lam * xt2
+
+    cond_feat = gd.encode_cond(params, cond)
+
+    def step(carry, tt):
+        x, k = carry
+        k, nk = jax.random.split(k)
+        tb = jnp.full((b,), tt, dtype=jnp.int32)
+        out = gd.apply_model(params, x, None, tb, cond_feat=cond_feat)
+        x_start = jnp.clip(dm.model_output_to_x_start(sched, out, x, tb), lo, hi)
+        mean, _, logvar = dm.q_posterior(sched, x_start, x, tb)
+        noise = _noise_like(nk, x, tt)
+        return (mean + jnp.exp(0.5 * logvar) * noise, k), None
+
+    (img, _), _ = jax.lax.scan(step, (img, key), jnp.arange(t - 1, -1, -1))
     return img
 
 

@@ -210,3 +210,26 @@ def test_classifier_gate_accept_vs_reject():
     assert bool(jnp.all(jnp.isfinite(out_a))) and bool(jnp.all(jnp.isfinite(out_r)))
     # with the echo oracle both converge to cond regardless of gating
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(cond), rtol=1e-4, atol=1e-5)
+
+
+def test_interpolate():
+    target = jnp.full((1, 8, 8, 1), 1.0)
+    gd = oracle_gd(target=target)
+    x1 = jnp.zeros((1, 8, 8, 1))
+    x2 = jnp.full((1, 8, 8, 1), 2.0)
+    cond = jnp.zeros((1, 8, 8, 1))
+    out = S.interpolate(gd, {}, x1, x2, cond, KEY, MMV, t=5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(target), rtol=1e-5)
+
+
+def test_branched_return_all_no_intermediate():
+    gd = oracle_gd(timesteps=6)
+    cond = jnp.ones((1, 8, 8, 1))
+    mask = _left_mask()
+    scfg = SamplerConfig(start_intermediate=False)
+    final, ys = S.ddpm_sample_branched(
+        gd, {}, cond, mask, KEY, scfg, MMV, return_all=True
+    )
+    assert final.shape == (2, 1, 8, 8, 1)
+    assert ys.shape == (6, 2, 1, 8, 8, 1)
+    np.testing.assert_allclose(np.asarray(ys[-1]), np.asarray(final))
