@@ -11,4 +11,8 @@ from localdiffusion_tpu.data.brats import (  # noqa: F401
     BRATSVolumeDataset,
 )
 from localdiffusion_tpu.data.mvtec import MvtecDatasetSR, salt_and_pepper, sr_degrade  # noqa: F401
-from localdiffusion_tpu.data.synthetic import synthetic_brain_pair, synthetic_digits  # noqa: F401
+from localdiffusion_tpu.data.synthetic import (  # noqa: F401
+    synthetic_brain_pair,
+    synthetic_brain_translation,
+    synthetic_digits,
+)

@@ -77,3 +77,27 @@ def synthetic_brain_pair(
         np.stack(flairs).astype(np.float32),
         np.stack(segs).astype(np.float32),
     )
+
+
+def synthetic_brain_translation(
+    n: int,
+    size: int,
+    tumor: bool,
+    seed: int,
+    mean_t1: float = 300.0,
+    std_t1: float = 350.0,
+    mean_flair: float = 250.0,
+    std_flair: float = 280.0,
+    translate_zero: bool = True,
+):
+    """(hr=flair, lr_cond=t1, seg) normalized like the BRATS pipeline
+    (z-score per modality + translate_zero shift, data.py:400-410)."""
+    t1, flair, seg = synthetic_brain_pair(n, size=size, seed=seed, tumor=tumor)
+
+    def norm(img, mean, std):
+        out = (img - mean) / std
+        if translate_zero:
+            out = out + np.abs(out.min(axis=(1, 2, 3), keepdims=True))
+        return out.astype(np.float32)
+
+    return norm(flair, mean_flair, std_flair), norm(t1, mean_t1, std_t1), seg

@@ -56,7 +56,20 @@ def main():
     params = state.ema_params  # EMA model for eval (reference test.py:144-147)
 
     # OOD-test dataset: the anomalous digit class (reference test.py:66-89)
-    if cfg.data.name == "mnist":
+    seg_pairs = None
+    if cfg.data.name == "synthetic_brain":
+        from localdiffusion_tpu.data.synthetic import synthetic_brain_translation
+
+        d = cfg.data
+        size = cfg.diffusion.image_size
+        hr, lr, seg = synthetic_brain_translation(
+            min(args.max_images, 32), size, tumor=True, seed=0,
+            mean_t1=d.mean_t1, std_t1=d.std_t1,
+            mean_flair=d.mean_flair, std_flair=d.std_flair,
+            translate_zero=d.translate_zero,
+        )
+        seg_pairs = seg
+    elif cfg.data.name == "mnist":
         try:
             imgs, labels = load_mnist_arrays(
                 cfg.data.mnist_path.replace("train-", "t10k-"),
@@ -72,7 +85,33 @@ def main():
         raise NotImplementedError("mri/mvtec flows: see docs/DATASETS.md")
 
     frontend = None
-    if cfg.sampler.ood_ad and cfg.ood.detector != "none":
+    if cfg.ood.detector == "seg":
+        import orbax.checkpoint as ocp
+
+        from localdiffusion_tpu.models import SegUNet
+        from localdiffusion_tpu.ood.frontend import OODFrontend
+
+        seg_model = SegUNet()
+        seg_path = os.path.abspath("results/seg/best_dice")
+        if os.path.exists(seg_path):
+            ckptr = ocp.StandardCheckpointer()
+            template = jax.device_get(
+                seg_model.init(
+                    jax.random.PRNGKey(0),
+                    np.zeros((1, cfg.diffusion.image_size, cfg.diffusion.image_size, 1), np.float32),
+                )
+            )
+            seg_params = ckptr.restore(seg_path, template)
+            print("loaded seg detector checkpoint")
+            frontend = OODFrontend(
+                cfg, seg_apply=lambda x: seg_model.apply(seg_params, x)
+            )
+        elif seg_pairs is not None:
+            # no trained detector — use ground-truth seg masks (the
+            # reference's commented gt-mask path, test.py:325-327)
+            print("no seg checkpoint — using ground-truth seg masks")
+            frontend = None
+    elif cfg.sampler.ood_ad and cfg.ood.detector != "none":
         pc = None
         if cfg.ood.detector == "patchcore":
             mb = None
@@ -91,6 +130,23 @@ def main():
         frontend = OODFrontend(cfg, patchcore=pc)
 
     pipe = LocalDiffusionPipeline(cfg, gd, params, frontend=frontend)
+    if frontend is None and seg_pairs is not None:
+        # gt-mask flow: per-image translate with mask = binary seg
+        import jax.numpy as jnp
+
+        key = jax.random.PRNGKey(10)
+        losses, times = [], []
+        for i in range(len(hr)):
+            key, sub = jax.random.split(key)
+            m = (seg_pairs[i : i + 1] > 0).astype(np.float32)
+            r = pipe.translate(lr[i : i + 1], hr=hr[i : i + 1], key=sub, mask=m)
+            losses.append(float(r["mse"]))
+            times.append(float(r["time"]))
+            print(f"[{i}] mse={losses[-1]:.5f} time={times[-1]:.3f}s "
+                  f"branched={bool(r['branched'])}")
+        print(f"Test loss: {np.mean(losses):.4f}")
+        print(f"Average sampling time: {np.mean(times[1:] if len(times) > 1 else times):.4f}")
+        return
     pairs = [(hr[i : i + 1], lr[i : i + 1]) for i in range(len(hr))]
     out = pipe.run(pairs, key=jax.random.PRNGKey(10), save_prefix=args.save_prefix)
     print(f"Test loss: {float(out['mean_mse']):.4f}")

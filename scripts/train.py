@@ -52,6 +52,24 @@ def build_dataset(cfg):
         train_ds = MNISTDataset(imgs[:split], labels[:split], num=[8])
         test_ds = MNISTDataset(imgs[split:], labels[split:], num=[8], max_file=100)
         return train_ds.as_arrays()[:2], test_ds.as_arrays()[:2]
+    if name == "synthetic_brain":
+        from localdiffusion_tpu.data.synthetic import synthetic_brain_translation
+
+        d = cfg.data
+        size = cfg.diffusion.image_size
+        hr, lr, _ = synthetic_brain_translation(
+            256, size, tumor=False, seed=42,
+            mean_t1=d.mean_t1, std_t1=d.std_t1,
+            mean_flair=d.mean_flair, std_flair=d.std_flair,
+            translate_zero=d.translate_zero,
+        )
+        hr_te, lr_te, _ = synthetic_brain_translation(
+            32, size, tumor=False, seed=7,
+            mean_t1=d.mean_t1, std_t1=d.std_t1,
+            mean_flair=d.mean_flair, std_flair=d.std_flair,
+            translate_zero=d.translate_zero,
+        )
+        return (hr, lr), (hr_te, lr_te)
     if name == "synthetic":
         from localdiffusion_tpu.data import synthetic_digits
 
