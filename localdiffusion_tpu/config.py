@@ -189,6 +189,9 @@ class OODConfig:
     memory_bank_path: Optional[str] = None
     backbone_weights_path: Optional[str] = None  # torch state-dict → flax
     seg_model_path: Optional[str] = None
+    # fixed classifier threshold; None → ROC-calibrate from a labeled loader
+    # (reference models.py:292-294, 338-402)
+    classifier_threshold: Optional[float] = None
     # manual mask (the committed reference behavior, test.py:379-381):
     # left `manual_mask_cols` columns flagged OOD.
     manual_mask_cols: int = 7

@@ -158,11 +158,18 @@ def ddpm_sample_plain(
     return img
 
 
-def _branched_model_call(gd, params, x_pair, tb, feat_pair):
-    """One batched UNet call over both branches ([2B] batch)."""
+def _branched_model_call(gd, params, x_pair, tb, feat_pair, branch_sharding=None):
+    """One batched UNet call over both branches ([2B] batch).
+
+    `branch_sharding` (a NamedSharding/PartitionSpec over the flattened
+    [2B] axis, e.g. P(('patch', 'data'))) splits the IND/OOD pair across the
+    mesh 'patch' axis — each half-mesh runs one branch's UNet.
+    """
     b = x_pair.shape[1]
     X = jnp.concatenate([x_pair[0], x_pair[1]], axis=0)
     T2 = jnp.concatenate([tb, tb], axis=0)
+    if branch_sharding is not None:
+        X = jax.lax.with_sharding_constraint(X, branch_sharding)
     out = gd.apply_model(params, X, None, T2, cond_feat=feat_pair)
     return out[:b], out[b:]
 
@@ -178,6 +185,7 @@ def ddpm_sample_branched(
     gt: Optional[jnp.ndarray] = None,
     classifier_fn: Optional[ClassifierFn] = None,
     return_all: bool = False,
+    branch_sharding=None,
 ):
     """Branched local-diffusion DDPM with mid-chain fusion.
 
@@ -213,7 +221,9 @@ def ddpm_sample_branched(
 
     def branch_starts(x_pair, tb):
         """Model predictions for both branches incl. mask_x policy + clip."""
-        mo_out, mo_in = _branched_model_call(gd, params, x_pair, tb, feat_pair)
+        mo_out, mo_in = _branched_model_call(
+            gd, params, x_pair, tb, feat_pair, branch_sharding
+        )
         xs_out = dm.model_output_to_x_start(sched, mo_out, x_pair[0], tb)
         xs_in = dm.model_output_to_x_start(sched, mo_in, x_pair[1], tb)
         if scfg.mask_x:
@@ -377,6 +387,7 @@ def ddim_sample_branched(
     key: jax.Array,
     scfg: SamplerConfig,
     min_max_val: Tuple[float, float],
+    branch_sharding=None,
 ):
     """Branched DDIM with mid-chain fusion (reference ddpm.py:1002-1043).
 
@@ -410,7 +421,9 @@ def ddim_sample_branched(
     def branch_preds(x_pair, tb):
         """Branched model predictions with clip + rederived noise
         (clip_x_start=True path of ddpm.py:725-749)."""
-        mo_out, mo_in = _branched_model_call(gd, params, x_pair, tb, feat_pair)
+        mo_out, mo_in = _branched_model_call(
+            gd, params, x_pair, tb, feat_pair, branch_sharding
+        )
         xs_out = dm.model_output_to_x_start(sched, mo_out, x_pair[0], tb)
         xs_in = dm.model_output_to_x_start(sched, mo_in, x_pair[1], tb)
         if scfg.mask_x:

@@ -129,7 +129,25 @@ def main():
                 pc.build_memory_bank([np.asarray(prep)])
         frontend = OODFrontend(cfg, patchcore=pc)
 
-    pipe = LocalDiffusionPipeline(cfg, gd, params, frontend=frontend)
+    # optional classifier-gated re-branching (reference ddpm.py:622-625,
+    # 883-916): reuses the PatchCore detector as the accept/reject oracle
+    classifier_gate = None
+    if cfg.sampler.classifier and frontend is not None and frontend.patchcore is not None:
+        from localdiffusion_tpu.ood.classifier import ClassifierPatchCore
+
+        thr = cfg.ood.classifier_threshold
+        cls = ClassifierPatchCore(frontend.patchcore, threshold=thr)
+        if thr is None:
+            print("calibrating classifier threshold from the test stream")
+            loader = [(hr[i : i + 1], 1) for i in range(min(8, len(hr)))] + [
+                (lr[i : i + 1], 0) for i in range(min(8, len(lr)))
+            ]
+            cls.calibrate(loader)
+        classifier_gate = cls.as_sampler_gate()
+
+    pipe = LocalDiffusionPipeline(
+        cfg, gd, params, frontend=frontend, classifier_gate=classifier_gate
+    )
     if frontend is None and seg_pairs is not None:
         # gt-mask flow: per-image translate with mask = binary seg
         import jax.numpy as jnp

@@ -66,3 +66,29 @@ def test_patch_parallel_sample_on_mesh(mesh8):
     )
     assert out.shape == (2, 16, 16, 1)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_branch_axis_sharding(mesh8):
+    """IND/OOD pair split over the mesh 'patch' axis via sharding constraint."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from localdiffusion_tpu.diffusion import sampler as S
+
+    mcfg = ModelConfig(dim=8, dim_mults=(1, 2), full_attn=(False, True), channels=1)
+    dcfg = DiffusionConfig(image_size=8, timesteps=4)
+    gd = GaussianDiffusion(mcfg, dcfg)
+    params = gd.init_params(KEY)
+    cond = jnp.ones((4, 8, 8, 1))
+    mask = np.zeros((4, 8, 8, 1), np.float32)
+    mask[:, :, :3, :] = 1.0
+    scfg = SamplerConfig(start_timestep=1)
+    bs = NamedSharding(mesh8, P(("patch", "data")))
+    with mesh8:
+        fn = jax.jit(
+            lambda p, c, m, k: S.ddpm_sample_branched(
+                gd, p, c, m, k, scfg, (0.0, 2.0), branch_sharding=bs
+            )
+        )
+        out = fn(params, cond, jnp.asarray(mask), KEY)
+    assert out.shape == (4, 8, 8, 1)
+    assert bool(jnp.all(jnp.isfinite(out)))
