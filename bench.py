@@ -175,6 +175,9 @@ def measure_tpu(batch: int = 64, timesteps: int = 50, repeats: int = 3):
 
 
 def main():
+    from localdiffusion_tpu.utils.logging import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--measure-cpu-baseline", action="store_true")
     ap.add_argument("--batch", type=int, default=64)

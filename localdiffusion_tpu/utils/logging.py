@@ -79,3 +79,13 @@ def profile_trace(log_dir: str = "/tmp/jax_trace", enabled: bool = True):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def enable_compilation_cache(path: str = "/tmp/jax_cache") -> None:
+    """Persist compiled executables across processes (huge win when compiles
+    go through a remote compile service)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

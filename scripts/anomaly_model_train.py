@@ -19,6 +19,9 @@ import numpy as np
 
 
 def main():
+    from localdiffusion_tpu.utils.logging import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="config.yaml")
     ap.add_argument("--out", default=None)

@@ -81,6 +81,9 @@ def build_dataset(cfg):
 
 
 def main():
+    from localdiffusion_tpu.utils.logging import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="config_train.yaml")
     ap.add_argument("--steps", type=int, default=None)
