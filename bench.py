@@ -126,7 +126,8 @@ def measure_cpu_baseline(repeats: int = 10) -> float:
     return 1.0 / dt  # steps/sec
 
 
-def measure_tpu(batch: int = 64, timesteps: int = 50, repeats: int = 3):
+def measure_tpu(batch: int = 64, timesteps: int = 50, repeats: int = 3,
+                image_size: int = 28, four_stage: bool = False):
     """Branched local-diffusion sampling throughput on the attached chip."""
     import jax
     import jax.numpy as jnp
@@ -134,22 +135,31 @@ def measure_tpu(batch: int = 64, timesteps: int = 50, repeats: int = 3):
 
     from localdiffusion_tpu.config import SamplerConfig
     from localdiffusion_tpu.diffusion import sampler as S
-    from __graft_entry__ import _flagship
-
-    gd = _flagship()
-    # flagship sampling uses T=50 (reference config.yaml:50); rebuild schedule
-    from localdiffusion_tpu.config import DiffusionConfig
+    from localdiffusion_tpu.config import DiffusionConfig, ModelConfig
     from localdiffusion_tpu.diffusion.gaussian import GaussianDiffusion
 
+    if four_stage:
+        # the reference's MRI/MVTec scale (4-stage UNet, deep cond encoder)
+        mcfg = ModelConfig(
+            dim=32, init_dim=32, dim_mults=(1, 2, 4, 8),
+            full_attn=(False, False, False, True), channels=1,
+            cond_encoder_depth="deep",
+        )
+    else:
+        from __graft_entry__ import _flagship
+
+        mcfg = _flagship().model_cfg
     gd = GaussianDiffusion(
-        gd.model_cfg,
-        DiffusionConfig(image_size=28, timesteps=timesteps, objective="pred_x0"),
+        mcfg,
+        DiffusionConfig(image_size=image_size, timesteps=timesteps,
+                        objective="pred_x0"),
     )
     params = gd.init_params(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
-    cond = jnp.asarray(rng.uniform(0, 2, (batch, 28, 28, 1)).astype(np.float32))
-    mask = np.zeros((batch, 28, 28, 1), np.float32)
-    mask[:, :, :7, :] = 1.0  # the committed manual mask (reference test.py:379-381)
+    hw = image_size
+    cond = jnp.asarray(rng.uniform(0, 2, (batch, hw, hw, 1)).astype(np.float32))
+    mask = np.zeros((batch, hw, hw, 1), np.float32)
+    mask[:, :, : hw // 4, :] = 1.0  # manual left-columns mask (test.py:379-381)
     mask = jnp.asarray(mask)
     scfg = SamplerConfig(start_timestep=2)
     mmv = (0.0, 2.0)
@@ -182,6 +192,8 @@ def main():
     ap.add_argument("--measure-cpu-baseline", action="store_true")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--timesteps", type=int, default=50)
+    ap.add_argument("--mri256", action="store_true",
+                    help="additionally measure the 256px 4-stage MRI scale")
     args = ap.parse_args()
 
     if args.measure_cpu_baseline:
@@ -198,22 +210,25 @@ def main():
 
     steps_per_sec, images_per_sec, dt = measure_tpu(args.batch, args.timesteps)
     vs = steps_per_sec / baseline if baseline else None
-    print(
-        json.dumps(
-            {
-                "metric": "ddpm_denoise_steps_per_sec_per_chip",
-                "value": round(steps_per_sec, 2),
-                "unit": "model-steps/s",
-                "vs_baseline": round(vs, 2) if vs is not None else None,
-                "images_per_sec": round(images_per_sec, 3),
-                "batch": args.batch,
-                "sampling_timesteps": args.timesteps,
-                "wall_per_batch_s": round(dt, 4),
-                "baseline": "CPU torch reference-parity UNet, batch-1 sequential"
-                            if baseline else "unmeasured",
-            }
+    record = {
+        "metric": "ddpm_denoise_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 2),
+        "unit": "model-steps/s",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+        "images_per_sec": round(images_per_sec, 3),
+        "batch": args.batch,
+        "sampling_timesteps": args.timesteps,
+        "wall_per_batch_s": round(dt, 4),
+        "baseline": "CPU torch reference-parity UNet, batch-1 sequential"
+                    if baseline else "unmeasured",
+    }
+    if args.mri256:
+        sps256, ips256, dt256 = measure_tpu(
+            batch=4, timesteps=args.timesteps, image_size=256, four_stage=True
         )
-    )
+        record["images_per_sec_256px"] = round(ips256, 3)
+        record["steps_per_sec_256px"] = round(sps256, 2)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -102,8 +102,11 @@ def main():
 
     cfg = load_config(args.config)
     if args.results:
-        cfg = cfg.replace(train=cfg.train.__class__(
-            **{**cfg.train.__dict__, "results_dir": args.results}))
+        import dataclasses
+
+        cfg = cfg.replace(
+            train=dataclasses.replace(cfg.train, results_dir=args.results)
+        )
 
     from localdiffusion_tpu.data import ArrayLoader
     from localdiffusion_tpu.diffusion.gaussian import GaussianDiffusion

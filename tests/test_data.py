@@ -113,3 +113,38 @@ def test_mvtec_selection(tmp_path):
     hr, lr, label, defect = test_ds[0]
     assert hr.shape == (16, 16, 3) and lr.shape == (16, 16, 3)
     assert hr.max() <= 2.0 and label == 1 and defect == "bent_lead"
+
+
+def test_brats_png_dataset(tmp_path):
+    from PIL import Image
+
+    from localdiffusion_tpu.config import DataConfig
+    from localdiffusion_tpu.data import BRATSPngDataset
+
+    rng = np.random.default_rng(0)
+    flairs = []
+    for i in range(4):
+        base = tmp_path / f"case{i}"
+        t1 = rng.uniform(0, 800, (64, 64)).astype(np.uint16)
+        flair = rng.uniform(0, 600, (64, 64)).astype(np.uint16)
+        seg = np.zeros((64, 64), np.uint8)
+        if i >= 2:  # tumor cases with >1% of 256² OOD area
+            seg[10:45, 10:45] = 1
+        Image.fromarray(t1).save(base.with_name(f"case{i}_t1.png"))
+        Image.fromarray(flair).save(base.with_name(f"case{i}_flair.png"))
+        np.save(base.with_name(f"case{i}_seg.npy"), seg)
+        flairs.append(str(base.with_name(f"case{i}_flair.png")))
+
+    cfg = DataConfig(name="mri", translate_zero=True)
+    train_ds = BRATSPngDataset(cfg, flairs, train=True, crop=32)
+    assert len(train_ds) == 2  # tumor-free only (reference data.py:350-352)
+    test_ds = BRATSPngDataset(cfg, flairs, train=False, tumor=True, crop=32)
+    assert len(test_ds) == 2  # tumors with >1% area (data.py:354-362)
+    hr, lr, seg = test_ds[0]
+    assert hr.shape == (32, 32, 1) and lr.shape == (32, 32, 1)
+    # translate_zero floors values at 0 (data.py:406-410)
+    assert hr.min() >= 0.0 and lr.min() >= 0.0
+    # direction: mode='flair' returns (flair, t1) (data.py:440-442)
+    ds2 = BRATSPngDataset(cfg, flairs, train=False, tumor=True, mode="t1", crop=32)
+    a, b, _ = ds2[0]
+    assert not np.allclose(a, hr)
