@@ -17,7 +17,6 @@ Selection semantics mirror the reference exactly:
 
 from __future__ import annotations
 
-import glob
 import os
 from typing import List, Optional, Sequence, Tuple
 

@@ -8,7 +8,7 @@ per step (no per-step CPU↔device ping-pong).
 
 from __future__ import annotations
 
-from typing import Iterator, Optional, Sequence, Tuple
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 

@@ -18,7 +18,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from localdiffusion_tpu.config import DiffusionConfig, ModelConfig, SamplerConfig
+from localdiffusion_tpu.config import DiffusionConfig, ModelConfig
 from localdiffusion_tpu.models.unet import UNet, encode_cond
 from localdiffusion_tpu.ops import diffusion_math as dm
 from localdiffusion_tpu.ops.schedules import Schedule, make_schedule

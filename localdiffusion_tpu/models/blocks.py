@@ -10,7 +10,7 @@ is switchable (bf16 on TPU), params stay float32.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

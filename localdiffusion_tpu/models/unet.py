@@ -16,7 +16,7 @@ Differences from the reference by design:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

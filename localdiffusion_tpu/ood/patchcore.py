@@ -14,7 +14,6 @@ matmuls:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax

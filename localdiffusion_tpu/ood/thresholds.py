@@ -9,7 +9,7 @@ per-image scalar decisions stay out of jit; they emit fixed-shape masks.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -11,8 +11,6 @@ Layout: q, k, v are [B, N, H, D] (batch, tokens, heads, head_dim).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -12,8 +12,6 @@ all-reduce / eval all-gathers onto ICI.  Axes:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -13,7 +13,7 @@ stitched with overlap feathering — gather/scatter, not ring attention
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ uses the same boundary the reference times (test.py:392-415).
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

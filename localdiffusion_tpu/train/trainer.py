@@ -20,12 +20,10 @@ which wraps HF Accelerate (DDP/NCCL), ema_pytorch and torch.save.  Here:
 from __future__ import annotations
 
 import os
-from functools import partial
-from typing import Any, Iterator, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from flax import struct
 

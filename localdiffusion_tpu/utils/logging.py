@@ -13,7 +13,7 @@ import contextlib
 import csv
 import os
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 
 class CsvLogger:
