@@ -48,7 +48,11 @@ def main():
 
     np.random.seed(0)
 
-    gd = GaussianDiffusion(cfg.model, cfg.diffusion)
+    import jax.numpy as _jnp
+
+    gd = GaussianDiffusion(
+        cfg.model, cfg.diffusion, dtype=getattr(_jnp, cfg.train.compute_dtype)
+    )
     trainer = Trainer(gd, cfg.train)
     try:
         state = trainer.load(args.milestone)

@@ -115,7 +115,10 @@ def main():
     np.random.seed(42)
     key = jax.random.PRNGKey(42)
 
-    gd = GaussianDiffusion(cfg.model, cfg.diffusion)
+    import jax.numpy as _jnp
+
+    dtype = getattr(_jnp, cfg.train.compute_dtype)
+    gd = GaussianDiffusion(cfg.model, cfg.diffusion, dtype=dtype)
     trainer = Trainer(gd, cfg.train)
     state = trainer.init_state(key)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))

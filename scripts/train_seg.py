@@ -21,6 +21,9 @@ import optax
 
 
 def main():
+    from localdiffusion_tpu.utils.logging import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--batch", type=int, default=4)

@@ -111,3 +111,33 @@ def test_yaml_save_load_roundtrip(tmp_path):
     cfg.save_yaml(str(p))
     cfg2 = Config.load_yaml(str(p))
     assert cfg2 == cfg
+
+
+def test_load_actual_reference_config():
+    """The mounted reference config.yaml must load through the compat layer."""
+    import os
+
+    from localdiffusion_tpu.config import load_reference_yaml
+
+    p = "/root/reference/config.yaml"
+    if not os.path.exists(p):
+        pytest.skip("reference not mounted")
+    cfg = load_reference_yaml(p)
+    assert cfg.data.name == "mnist"
+    assert cfg.diffusion.timesteps == 50
+    assert cfg.sampler.start_timestep == 2
+    assert cfg.sampler.branch_out and cfg.sampler.mask_x
+    assert cfg.model.dim == 32
+
+
+def test_load_actual_reference_train_config():
+    import os
+
+    from localdiffusion_tpu.config import load_reference_yaml
+
+    p = "/root/reference/config_train.yaml"
+    if not os.path.exists(p):
+        pytest.skip("reference not mounted")
+    cfg = load_reference_yaml(p)
+    assert cfg.diffusion.timesteps == 250
+    assert cfg.diffusion.objective == "pred_x0"
