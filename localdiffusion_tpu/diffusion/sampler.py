@@ -186,6 +186,7 @@ def ddpm_sample_branched(
     classifier_fn: Optional[ClassifierFn] = None,
     return_all: bool = False,
     branch_sharding=None,
+    return_debug: bool = False,
 ):
     """Branched local-diffusion DDPM with mid-chain fusion.
 
@@ -261,7 +262,9 @@ def ddpm_sample_branched(
         (x_pair, key), _ = jax.lax.scan(branched_step, (x_pair, key), ts)
 
     # ---- fusion at t = s (ddpm.py:779-810) ----
-    def fuse_step(x_pair, t, k):
+    debug_state = {}
+
+    def fuse_step(x_pair, t, k, capture_debug=False):
         tb = jnp.full((b,), t, dtype=jnp.int32)
         xs_out, xs_in = branch_starts(x_pair, tb)
         x_start = xs_in * (1.0 - m) + xs_out  # xs_out is mask_x-masked
@@ -269,16 +272,23 @@ def ddpm_sample_branched(
         x_in_masked = x_pair[1] * (1.0 - m)
         x = fuse_noisy_states(x_out_masked, x_in_masked, m, scfg.fusion_route)
         x_start = jnp.clip(x_start, lo, hi)
+        if capture_debug:
+            # the reference's fusion-time .npy dumps (ddpm.py:793-794,
+            # 806-808): per-branch x_start estimates + fused state
+            debug_state.update(
+                pred_out=xs_out, pred_in=xs_in, pred_concat=x_start,
+                x_out=x_out_masked, x_in=x_in_masked,
+            )
         mean, _, logvar = dm.q_posterior(sched, x_start, x, tb)
         noise = _noise_like(k, x, t)
         return mean + jnp.exp(0.5 * logvar) * noise, (x_out_masked, x_in_masked)
 
     key, fk = jax.random.split(key)
     t_fuse = min(s, t_top - 1)
-    img, branchout_pair = fuse_step(x_pair, t_fuse, fk)
+    img, branchout_pair = fuse_step(x_pair, t_fuse, fk, capture_debug=return_debug)
 
     if t_fuse == 0:
-        return img
+        return (img, debug_state) if return_debug else img
 
     # ---- phase B: fused steps t ∈ [s-1 .. 0] ----
     def plain_step(x, t, k):
@@ -317,7 +327,7 @@ def ddpm_sample_branched(
     (img, _, _), _ = jax.lax.scan(
         fused_phase_step, (img, key, jnp.asarray(not use_classifier)), ts
     )
-    return img
+    return (img, debug_state) if return_debug else img
 
 
 def ddim_times(total_timesteps: int, sampling_timesteps: int) -> np.ndarray:

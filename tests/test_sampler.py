@@ -233,3 +233,21 @@ def test_branched_return_all_no_intermediate():
     assert final.shape == (2, 1, 8, 8, 1)
     assert ys.shape == (6, 2, 1, 8, 8, 1)
     np.testing.assert_allclose(np.asarray(ys[-1]), np.asarray(final))
+
+
+def test_branched_debug_capture():
+    gd = oracle_gd()
+    cond = jnp.asarray(
+        np.random.default_rng(3).uniform(0.2, 1.8, (1, 8, 8, 1)).astype(np.float32)
+    )
+    mask = _left_mask()
+    scfg = SamplerConfig(start_timestep=2)
+    out, dbg = S.ddpm_sample_branched(
+        gd, {}, cond, mask, KEY, scfg, MMV, return_debug=True
+    )
+    assert set(dbg) == {"pred_out", "pred_in", "pred_concat", "x_out", "x_in"}
+    # x_out is zero outside the mask; x_in zero inside (reference assert,
+    # ddpm.py:790)
+    mnp = np.asarray(mask).astype(bool)
+    assert np.all(np.asarray(dbg["x_out"])[~mnp] == 0.0)
+    assert np.all(np.asarray(dbg["x_in"])[mnp] == 0.0)
