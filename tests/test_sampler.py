@@ -251,3 +251,21 @@ def test_branched_debug_capture():
     mnp = np.asarray(mask).astype(bool)
     assert np.all(np.asarray(dbg["x_out"])[~mnp] == 0.0)
     assert np.all(np.asarray(dbg["x_in"])[mnp] == 0.0)
+
+
+def test_branched_three_channel_mvtec_shape():
+    """3-channel (MVTec) branched sampling — exercises multi-channel masks."""
+    mcfg = ModelConfig(
+        dim=8, dim_mults=(1, 2), full_attn=(False, True), channels=3,
+    )
+    dcfg = DiffusionConfig(image_size=8, timesteps=6)
+    gd = GaussianDiffusion(mcfg, dcfg)
+    params = gd.init_params(KEY)
+    cond = jnp.asarray(
+        np.random.default_rng(5).uniform(0, 2, (2, 8, 8, 3)).astype(np.float32)
+    )
+    mask = _left_mask(b=2)  # [B, H, W, 1] broadcasts over channels
+    scfg = SamplerConfig(start_timestep=1, cond_in_floor=0.95)
+    out = S.ddpm_sample_branched(gd, params, cond, mask, KEY, scfg, MMV)
+    assert out.shape == (2, 8, 8, 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
