@@ -52,13 +52,15 @@ class LocalDiffusionPipeline:
         mmv = self.min_max_val
         gd = self.gd
         gate = self.classifier_gate if scfg.classifier else None
+        use_gt = scfg.use_gt and scfg.start_intermediate
         if gd.is_ddim_sampling:
-            def fn(params, cond, mask, key):
+            def fn(params, cond, mask, key, gt=None):
                 return S.ddim_sample_branched(gd, params, cond, mask, key, scfg, mmv)
         else:
-            def fn(params, cond, mask, key):
+            def fn(params, cond, mask, key, gt=None):
                 return S.ddpm_sample_branched(
-                    gd, params, cond, mask, key, scfg, mmv, classifier_fn=gate
+                    gd, params, cond, mask, key, scfg, mmv,
+                    gt=gt if use_gt else None, classifier_fn=gate,
                 )
         return jax.jit(fn)
 
@@ -104,11 +106,16 @@ class LocalDiffusionPipeline:
         uniform = bool(np.all(mask == 1.0))
         branch = scfg.branch_out and not uniform
 
+        gt_j = (
+            jnp.asarray(hr, jnp.float32)
+            if (hr is not None and scfg.use_gt and scfg.start_intermediate)
+            else None
+        )
         t0 = time.perf_counter()
         if branch:
             if self._branched_fn is None:
                 self._branched_fn = self._compile_branched()
-            out = self._branched_fn(self.params, lr_j, jnp.asarray(mask), key)
+            out = self._branched_fn(self.params, lr_j, jnp.asarray(mask), key, gt_j)
         else:
             if self._plain_fn is None:
                 self._plain_fn = self._compile_plain()
