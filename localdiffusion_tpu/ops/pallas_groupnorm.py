@@ -155,14 +155,25 @@ def _gn_vjp_bwd(groups, eps, interpret, res, g):
 _gn_film_silu.defvjp(_gn_vjp_fwd, _gn_vjp_bwd)
 
 
+# per-batch-row block must fit VMEM (~16 MB/core) with in+out+double
+# buffering; beyond this the XLA-fused reference wins anyway.
+_MAX_VMEM_BLOCK_BYTES = 4 * 1024 * 1024
+
+
 def groupnorm_film_silu(
     x, gamma, beta, scale=None, shift=None, groups=8, eps=1e-5, interpret=None
 ):
     """Fused GroupNorm+FiLM+SiLU: Pallas on TPU, XLA reference elsewhere.
 
     `interpret=True` forces the Pallas interpreter (CPU parity tests).
+    Large spatial blocks (256px high-res stages) exceed the single-row VMEM
+    budget and route to the XLA reference.
     """
-    if interpret or jax.default_backend() == "tpu":
+    b, h, w, c = x.shape
+    block_bytes = h * w * c * 4
+    if (interpret or jax.default_backend() == "tpu") and (
+        interpret or block_bytes <= _MAX_VMEM_BLOCK_BYTES
+    ):
         return _gn_film_silu(
             x, gamma, beta, scale, shift, groups, eps, bool(interpret)
         )
