@@ -155,9 +155,11 @@ def _gn_vjp_bwd(groups, eps, interpret, res, g):
 _gn_film_silu.defvjp(_gn_vjp_fwd, _gn_vjp_bwd)
 
 
-# per-batch-row block must fit VMEM (~16 MB/core) with in+out+double
-# buffering; beyond this the XLA-fused reference wins anyway.
-_MAX_VMEM_BLOCK_BYTES = 4 * 1024 * 1024
+# per-batch-row block must fit VMEM (~16 MB/core) including Mosaic's kernel
+# intermediates (~16× the block: normed/modulated/activated temporaries) —
+# measured: a 2 MB block hit a 32 MB scoped-vmem stack.  Larger blocks route
+# to the XLA-fused reference, which tiles internally.
+_MAX_VMEM_BLOCK_BYTES = 512 * 1024
 
 
 def groupnorm_film_silu(
