@@ -156,10 +156,10 @@ def convert_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
             "var": np.asarray(state_dict[f"{prefix}.running_var"]),
         }
 
-    params: Dict[str, Any] = {
-        "conv1": {"kernel": conv(state_dict["conv1.weight"])},
-        "bn1": bn("bn1"),
-    }
+    params: Dict[str, Any] = {}
+    if "conv1.weight" in state_dict:
+        params["conv1"] = {"kernel": conv(state_dict["conv1.weight"])}
+        params["bn1"] = bn("bn1")
     blocks_per_stage = [3, 4, 6, 3]
     for stage in range(4):
         for b in range(blocks_per_stage[stage]):
