@@ -101,3 +101,34 @@ def synthetic_brain_translation(
         return out.astype(np.float32)
 
     return norm(flair, mean_flair, std_flair), norm(t1, mean_t1, std_t1), seg
+
+
+def synthetic_textures(
+    n: int = 64,
+    size: int = 64,
+    seed: int = 0,
+    defect: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """RGB texture tiles (stripes+grid like MVTec 'grid'/'carpet') in [0, 1],
+    with optional localized defects (the OOD content), plus defect masks."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    imgs = np.zeros((n, size, size, 3), np.float32)
+    masks = np.zeros((n, size, size, 1), np.float32)
+    for i in range(n):
+        phase = rng.uniform(0, 2 * np.pi)
+        freq = rng.uniform(0.5, 0.9)
+        base = 0.5 + 0.25 * np.sin(freq * xx + phase) + 0.15 * np.sin(
+            freq * 0.8 * yy - phase
+        )
+        tex = np.stack([base, base * 0.9 + 0.05, base * 0.8 + 0.1], axis=-1)
+        tex += rng.normal(0, 0.02, tex.shape)
+        if defect:
+            dy = int(rng.integers(size // 5, 4 * size // 5))
+            dx = int(rng.integers(size // 5, 4 * size // 5))
+            r = size // 10
+            dd = (yy - dy) ** 2 + (xx - dx) ** 2 < r * r
+            tex[dd] = rng.uniform(0.0, 0.15)  # dark blotch defect
+            masks[i, dd, 0] = 1.0
+        imgs[i] = np.clip(tex, 0, 1)
+    return imgs, masks

@@ -76,6 +76,17 @@ def main():
             translate_zero=d.translate_zero,
         )
         seg_pairs = seg
+    elif cfg.data.name == "synthetic_texture":
+        from localdiffusion_tpu.data.mvtec import sr_degrade
+        from localdiffusion_tpu.data.synthetic import synthetic_textures
+
+        size = cfg.diffusion.image_size
+        imgs, dmasks = synthetic_textures(
+            min(args.max_images, 16), size=size, seed=0, defect=True
+        )
+        hr = imgs * 2.0
+        lr = np.stack([sr_degrade(im) for im in hr])
+        seg_pairs = dmasks  # defect masks usable as gt masks
     elif cfg.data.name == "mnist":
         try:
             imgs, labels = load_mnist_arrays(
@@ -139,11 +150,26 @@ def main():
     # optional classifier-gated re-branching (reference ddpm.py:622-625,
     # 883-916): reuses the PatchCore detector as the accept/reject oracle
     classifier_gate = None
-    if cfg.sampler.classifier and frontend is not None and frontend.patchcore is not None:
+    if cfg.sampler.classifier:
         from localdiffusion_tpu.ood.classifier import ClassifierPatchCore
 
+        cls_pc = frontend.patchcore if (
+            frontend is not None and getattr(frontend, "patchcore", None) is not None
+        ) else None
+        if cls_pc is None:
+            # classifier oracle independent of the mask detector (the
+            # reference loads its own patchcore+bank, models.py:272-290)
+            mb = None
+            if cfg.ood.memory_bank_path and os.path.exists(cfg.ood.memory_bank_path):
+                mb = np.load(cfg.ood.memory_bank_path)
+            cls_pc = PatchCore(cfg.ood, memory_bank=mb)
+            if mb is None:
+                from localdiffusion_tpu.ood.classifier import preprocess_for_patchcore
+
+                prep = preprocess_for_patchcore(np.asarray(lr[:16]), cfg.ood.input_size)
+                cls_pc.build_memory_bank([np.asarray(prep)])
         thr = cfg.ood.classifier_threshold
-        cls = ClassifierPatchCore(frontend.patchcore, threshold=thr)
+        cls = ClassifierPatchCore(cls_pc, threshold=thr)
         if thr is None:
             print("calibrating classifier threshold from the test stream")
             loader = [(hr[i : i + 1], 1) for i in range(min(8, len(hr)))] + [

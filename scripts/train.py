@@ -70,6 +70,18 @@ def build_dataset(cfg):
             translate_zero=d.translate_zero,
         )
         return (hr, lr), (hr_te, lr_te)
+    if name == "synthetic_texture":
+        from localdiffusion_tpu.data.synthetic import synthetic_textures
+        from localdiffusion_tpu.data.mvtec import sr_degrade
+
+        size = cfg.diffusion.image_size
+        imgs, _ = synthetic_textures(192, size=size, seed=42)
+        imgs2 = imgs * 2.0  # [0, 2] like the mvtec loaders (data.py:294-297)
+        lr = np.stack([sr_degrade(im) for im in imgs2])
+        imgs_te, _ = synthetic_textures(24, size=size, seed=7)
+        hr_te = imgs_te * 2.0
+        lr_te = np.stack([sr_degrade(im) for im in hr_te])
+        return (imgs2, lr), (hr_te, lr_te)
     if name == "synthetic":
         from localdiffusion_tpu.data import synthetic_digits
 
