@@ -54,9 +54,35 @@ def salt_and_pepper(
     return out
 
 
+def rgb_to_gray(img: np.ndarray) -> np.ndarray:
+    """ITU-R 601 luma (reference RGB2Gray, data.py:231-233)."""
+    return img[..., :3] @ np.asarray([0.2989, 0.5870, 0.1140], np.float32)
+
+
+def select_patch(img: np.ndarray, img_down: np.ndarray, rng):
+    """Random patch masking for mask-training mode (data.py:235-246):
+    zero everything outside a random box, return the box mask."""
+    size = img.shape[0]
+    hw = rng.integers(size // 4, size // 2, 2)
+    y = int(rng.integers(0, size - hw[0] - 1))
+    x = int(rng.integers(0, size - hw[1] - 1))
+    out = np.zeros_like(img)
+    out_down = np.zeros_like(img_down)
+    mask = np.zeros((*img.shape[:2], 1), np.float32)
+    out[y : y + hw[0], x : x + hw[1]] = img[y : y + hw[0], x : x + hw[1]]
+    out_down[y : y + hw[0], x : x + hw[1]] = img_down[y : y + hw[0], x : x + hw[1]]
+    mask[y : y + hw[0], x : x + hw[1]] = 1.0
+    return out, out_down, mask
+
+
 class MvtecDatasetSR:
     """File selection mirrors reference data.py:202-227: train keeps 'good'
-    only; test filters by defect names in `mode` (None = all)."""
+    only; test filters by defect names in `mode` (None = all).
+
+    mask_train=True returns (img, img_down, box_mask) patch triples
+    (data.py:309-311); gray=True converts to single-channel luma
+    (the MvtecDatasetGray variant, data.py:231-233).
+    """
 
     def __init__(
         self,
@@ -66,10 +92,16 @@ class MvtecDatasetSR:
         max_num: Optional[int] = None,
         denoise: bool = False,
         size: int = 112,
+        mask_train: bool = False,
+        gray: bool = False,
+        seed: int = 0,
     ):
         self.train = train
         self.denoise = denoise
         self.size = size
+        self.mask_train = mask_train
+        self.gray = gray
+        self._rng = np.random.default_rng(seed)
         self.items: List[str] = []
         for f in files:
             if train:
@@ -89,6 +121,8 @@ class MvtecDatasetSR:
     def __getitem__(self, idx: int):
         path = self.items[idx]
         img = _load_rgb(path, self.size)
+        if self.gray:
+            img = rgb_to_gray(img)[..., None]
         defect = os.path.basename(os.path.dirname(path))
         if self.denoise:
             down = salt_and_pepper(img, seed=0 if not self.train else idx)
@@ -96,6 +130,9 @@ class MvtecDatasetSR:
         else:
             img2 = img * 2.0  # [0, 2] range (data.py:294-297)
             down2 = sr_degrade(img2)
+        if self.mask_train:
+            img2, down2, mask = select_patch(img2, down2, self._rng)
+            return img2.astype(np.float32), down2.astype(np.float32), mask
         label = 0 if "good" in path else 1
         return (
             img2.astype(np.float32),

@@ -148,3 +148,27 @@ def test_brats_png_dataset(tmp_path):
     ds2 = BRATSPngDataset(cfg, flairs, train=False, tumor=True, mode="t1", crop=32)
     a, b, _ = ds2[0]
     assert not np.allclose(a, hr)
+
+
+def test_mvtec_gray_and_mask_train(tmp_path):
+    from PIL import Image
+
+    from localdiffusion_tpu.data.mvtec import MvtecDatasetSR, rgb_to_gray
+
+    d = tmp_path / "cat" / "test" / "good"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (20, 20, 3), dtype=np.uint8).astype(np.uint8)).save(d / f"{i}.png")
+    files = sorted(str(p) for p in d.glob("*.png"))
+
+    gray_ds = MvtecDatasetSR(files, train=True, size=16, gray=True)
+    hr, lr, label, defect = gray_ds[0]
+    assert hr.shape == (16, 16, 1)
+
+    mt = MvtecDatasetSR(files, train=True, size=16, mask_train=True)
+    img, down, mask = mt[0]
+    assert mask.shape == (16, 16, 1)
+    assert mask.max() == 1.0 and mask.min() == 0.0
+    # content zeroed outside the mask box
+    assert np.all(img[mask[..., 0] == 0.0] == 0.0)
