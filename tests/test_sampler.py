@@ -269,3 +269,20 @@ def test_branched_three_channel_mvtec_shape():
     out = S.ddpm_sample_branched(gd, params, cond, mask, KEY, scfg, MMV)
     assert out.shape == (2, 8, 8, 3)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_sampling_determinism_fixed_key():
+    """Same params+inputs+key → identical outputs (the reference pins seeds
+    for reproducibility, test.py:39-45, ddpm.py:934)."""
+    gd = tiny_gd()
+    params = gd.init_params(KEY)
+    cond = jnp.ones((1, 8, 8, 1)) * 0.7
+    mask = _left_mask()
+    scfg = SamplerConfig(start_timestep=2)
+    a = S.ddpm_sample_branched(gd, params, cond, mask, KEY, scfg, MMV)
+    b = S.ddpm_sample_branched(gd, params, cond, mask, KEY, scfg, MMV)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = S.ddpm_sample_branched(
+        gd, params, cond, mask, jax.random.PRNGKey(99), scfg, MMV
+    )
+    assert not np.allclose(np.asarray(a), np.asarray(c))
