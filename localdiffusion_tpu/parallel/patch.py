@@ -138,6 +138,10 @@ def patch_parallel_sample(
     gd_patch.image_size = patch
 
     def run(params, cond_p, mask_p, key):
+        if gd_patch.is_ddim_sampling:
+            return S.ddim_sample_branched(
+                gd_patch, params, cond_p, mask_p, key, scfg, min_max_val
+            )
         return S.ddpm_sample_branched(
             gd_patch, params, cond_p, mask_p, key, scfg, min_max_val
         )
