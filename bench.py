@@ -127,7 +127,8 @@ def measure_cpu_baseline(repeats: int = 10) -> float:
 
 
 def measure_tpu(batch: int = 64, timesteps: int = 50, repeats: int = 3,
-                image_size: int = 28, four_stage: bool = False):
+                image_size: int = 28, four_stage: bool = False,
+                bf16: bool = False):
     """Branched local-diffusion sampling throughput on the attached chip."""
     import jax
     import jax.numpy as jnp
@@ -149,10 +150,13 @@ def measure_tpu(batch: int = 64, timesteps: int = 50, repeats: int = 3,
         from __graft_entry__ import _flagship
 
         mcfg = _flagship().model_cfg
+    import jax.numpy as _jnp
+
     gd = GaussianDiffusion(
         mcfg,
         DiffusionConfig(image_size=image_size, timesteps=timesteps,
                         objective="pred_x0"),
+        dtype=_jnp.bfloat16 if bf16 else _jnp.float32,
     )
     params = gd.init_params(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
@@ -194,6 +198,8 @@ def main():
     ap.add_argument("--timesteps", type=int, default=50)
     ap.add_argument("--mri256", action="store_true",
                     help="additionally measure the 256px 4-stage MRI scale")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 compute (params stay f32)")
     args = ap.parse_args()
 
     if args.measure_cpu_baseline:
@@ -208,7 +214,9 @@ def main():
         with open(BASELINE_CPU_FILE) as f:
             baseline = json.load(f)["cpu_torch_steps_per_sec"]
 
-    steps_per_sec, images_per_sec, dt = measure_tpu(args.batch, args.timesteps)
+    steps_per_sec, images_per_sec, dt = measure_tpu(
+        args.batch, args.timesteps, bf16=args.bf16
+    )
     vs = steps_per_sec / baseline if baseline else None
     record = {
         "metric": "ddpm_denoise_steps_per_sec_per_chip",
@@ -222,9 +230,12 @@ def main():
         "baseline": "CPU torch reference-parity UNet, batch-1 sequential"
                     if baseline else "unmeasured",
     }
+    if args.bf16:
+        record["compute_dtype"] = "bfloat16"
     if args.mri256:
         sps256, ips256, dt256 = measure_tpu(
-            batch=4, timesteps=args.timesteps, image_size=256, four_stage=True
+            batch=4, timesteps=args.timesteps, image_size=256, four_stage=True,
+            bf16=args.bf16,
         )
         record["images_per_sec_256px"] = round(ips256, 3)
         record["steps_per_sec_256px"] = round(sps256, 2)
