@@ -128,8 +128,6 @@ def patch_parallel_sample(
 
     b, h, w, c = cond.shape
     grid = plan_patches(h, w, patch, overlap)
-    cond_p = extract_patches(cond, grid)
-    mask_p = extract_patches(mask, grid)
 
     # patch sampling runs at the patch resolution
     import copy
@@ -137,23 +135,29 @@ def patch_parallel_sample(
     gd_patch = copy.copy(gd)
     gd_patch.image_size = patch
 
-    def run(params, cond_p, mask_p, key):
+    def run(params, cond, mask, key):
+        # extract → sample-all-patches → stitch, all in ONE compiled program
+        # (per-op dispatch around the sampler would dominate wall time on
+        # latency-bound links)
+        cond_p = extract_patches(cond, grid)
+        mask_p = extract_patches(mask, grid)
         if gd_patch.is_ddim_sampling:
-            return S.ddim_sample_branched(
+            out_p = S.ddim_sample_branched(
                 gd_patch, params, cond_p, mask_p, key, scfg, min_max_val
             )
-        return S.ddpm_sample_branched(
-            gd_patch, params, cond_p, mask_p, key, scfg, min_max_val
-        )
+        else:
+            out_p = S.ddpm_sample_branched(
+                gd_patch, params, cond_p, mask_p, key, scfg, min_max_val
+            )
+        return stitch_patches(out_p, grid, b, overlap)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         rep = NamedSharding(mesh, P())
-        flat = NamedSharding(mesh, P(("data", "patch")))
-        fn = jax.jit(run, in_shardings=(rep, flat, flat, None))
+        sh = NamedSharding(mesh, P("data"))
+        fn = jax.jit(run, in_shardings=(rep, sh, sh, None))
     else:
         fn = jax.jit(run)
 
-    out_p = fn(params, cond_p, mask_p, key)
-    return stitch_patches(out_p, grid, b, overlap)
+    return fn(params, jnp.asarray(cond), jnp.asarray(mask), key)
