@@ -135,12 +135,24 @@ def patch_parallel_sample(
     gd_patch = copy.copy(gd)
     gd_patch.image_size = patch
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        flat_sharding = NamedSharding(mesh, P(("data", "patch")))
+    else:
+        flat_sharding = None
+
     def run(params, cond, mask, key):
         # extract → sample-all-patches → stitch, all in ONE compiled program
         # (per-op dispatch around the sampler would dominate wall time on
         # latency-bound links)
         cond_p = extract_patches(cond, grid)
         mask_p = extract_patches(mask, grid)
+        if flat_sharding is not None:
+            # the [B·P] patch batch is the parallel axis — spread it over
+            # the whole mesh regardless of the input batch size
+            cond_p = jax.lax.with_sharding_constraint(cond_p, flat_sharding)
+            mask_p = jax.lax.with_sharding_constraint(mask_p, flat_sharding)
         if gd_patch.is_ddim_sampling:
             out_p = S.ddim_sample_branched(
                 gd_patch, params, cond_p, mask_p, key, scfg, min_max_val
@@ -155,9 +167,7 @@ def patch_parallel_sample(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         rep = NamedSharding(mesh, P())
-        sh = NamedSharding(mesh, P("data"))
-        fn = jax.jit(run, in_shardings=(rep, sh, sh, None))
-    else:
-        fn = jax.jit(run)
-
-    return fn(params, jnp.asarray(cond), jnp.asarray(mask), key)
+        with mesh:
+            fn = jax.jit(run, in_shardings=(rep, rep, rep, None))
+            return fn(params, jnp.asarray(cond), jnp.asarray(mask), key)
+    return jax.jit(run)(params, jnp.asarray(cond), jnp.asarray(mask), key)
