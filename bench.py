@@ -198,8 +198,10 @@ def main():
     ap.add_argument("--timesteps", type=int, default=50)
     ap.add_argument("--mri256", action="store_true",
                     help="additionally measure the 256px 4-stage MRI scale")
-    ap.add_argument("--bf16", action="store_true",
-                    help="bf16 compute (params stay f32)")
+    ap.add_argument("--bf16", action=argparse.BooleanOptionalAction, default=True,
+                    help="bf16 compute, params stay f32 (quality-identical "
+                         "to f32 on the flagship: mse 0.16324 vs 0.16324 on "
+                         "the same images; --no-bf16 for f32)")
     args = ap.parse_args()
 
     if args.measure_cpu_baseline:
