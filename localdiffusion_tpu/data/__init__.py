@@ -16,3 +16,4 @@ from localdiffusion_tpu.data.synthetic import (  # noqa: F401
     synthetic_brain_translation,
     synthetic_digits,
 )
+from localdiffusion_tpu.data.folder import ImageFolderDataset  # noqa: F401

@@ -110,6 +110,12 @@ def main():
         "accumulation; 'batch' = one optimizer step per batch",
     )
     ap.add_argument("--eval-every", type=int, default=None)
+    ap.add_argument(
+        "--resume", choices=["auto", "never"], default="auto",
+        help="auto-resume from model-latest if present (TPU preemption "
+        "recovery; the reference's recovery is manual Trainer.load, "
+        "SURVEY.md §5.3)",
+    )
     args = ap.parse_args()
 
     cfg = load_config(args.config)
@@ -136,6 +142,17 @@ def main():
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     print(f"Total number of parameters: {n_params}")
 
+    start_step = 0
+    if args.resume == "auto" and os.path.exists(
+        os.path.join(trainer.results_dir, "model-latest")
+    ):
+        try:
+            state = trainer.load("latest")
+            start_step = int(state.step)
+            print(f"auto-resumed from model-latest at step {start_step}")
+        except Exception as e:
+            print(f"resume failed ({e}); starting fresh")
+
     (hr_tr, lr_tr), (hr_te, lr_te) = build_dataset(cfg)
     print(f"train {len(hr_tr)} / test {len(hr_te)} samples")
     dl = ArrayLoader(hr_tr, lr_tr, batch_size=args.batch_size, seed=42)
@@ -154,7 +171,9 @@ def main():
         data_lr = jnp.asarray(lr_tr)
         epoch_fn = trainer.epoch_resident_fn(len(hr_tr), args.batch_size)
 
-    for step in range(steps):
+    for _ in range(start_step):
+        rng, _ = jax.random.split(rng)  # keep the rng stream aligned on resume
+    for step in range(start_step, steps):
         rng, sub = jax.random.split(rng)
         if args.step_mode == "resident":
             state, loss = epoch_fn(state, data_hr, data_lr, sub)
@@ -177,6 +196,7 @@ def main():
 
                 trainer.save(state, "best" + round_milestone(step + 1))
                 print(f"  saved best{round_milestone(step + 1)}")
+            trainer.save(state, "latest")  # preemption-recovery point
     trainer.save(state, "latest")
     # loss CSV like the reference (ddpm.py:1563-1565)
     import pandas as pd

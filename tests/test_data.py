@@ -172,3 +172,20 @@ def test_mvtec_gray_and_mask_train(tmp_path):
     assert mask.max() == 1.0 and mask.min() == 0.0
     # content zeroed outside the mask box
     assert np.all(img[mask[..., 0] == 0.0] == 0.0)
+
+
+def test_image_folder_dataset(tmp_path):
+    from PIL import Image
+
+    from localdiffusion_tpu.data.folder import ImageFolderDataset
+
+    sub = tmp_path / "a" / "b"
+    sub.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i, shape in enumerate([(20, 30, 3), (32, 16, 3)]):
+        Image.fromarray(rng.integers(0, 255, shape, dtype=np.uint8).astype(np.uint8)).save(sub / f"{i}.png")
+    ds = ImageFolderDataset(str(tmp_path), image_size=12)
+    assert len(ds) == 2
+    out = ds.as_arrays()
+    assert out.shape == (2, 12, 12, 3)
+    assert 0.0 <= out.min() and out.max() <= 1.0
