@@ -152,9 +152,12 @@ def ddpm_sample_plain(
         return (x_new, k), (x_new if return_all else None)
 
     ts = jnp.arange(t_start - 1, -1, -1)
+    img0 = img
     (img, _), ys = jax.lax.scan(step, (img, key), ts)
     if return_all:
-        return img, ys
+        # include the initial noise like the reference (imgs = [img],
+        # ddpm.py:946) → T+1 frames
+        return img, jnp.concatenate([img0[None], ys], axis=0)
     return img
 
 
@@ -383,9 +386,10 @@ def ddim_sample_plain(
         x_new = jnp.where(t_next < 0, x_start, x_step)
         return (x_new, k), (x_new if return_all else None)
 
+    img0 = img
     (img, _), ys = jax.lax.scan(step, (img, key), pairs)
     if return_all:
-        return img, ys
+        return img, jnp.concatenate([img0[None], ys], axis=0)
     return img
 
 
