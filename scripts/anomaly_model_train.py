@@ -49,8 +49,44 @@ def main():
         # of the source class, anomaly_model_train.py:262-280)
         ds = MNISTDataset(imgs, labels, num=[8], max_file=args.max_images)
         _, lr, _ = ds.as_arrays()
+    elif cfg.data.name == "synthetic_texture":
+        from localdiffusion_tpu.data.mvtec import sr_degrade
+        from localdiffusion_tpu.data.synthetic import synthetic_textures
+
+        imgs, _ = synthetic_textures(args.max_images,
+                                     size=cfg.diffusion.image_size, seed=42)
+        lr = np.stack([sr_degrade(im * 2.0) for im in imgs])
+    elif cfg.data.name == "synthetic_brain":
+        from localdiffusion_tpu.data.synthetic import synthetic_brain_translation
+
+        d = cfg.data
+        _, lr, _ = synthetic_brain_translation(
+            args.max_images, cfg.diffusion.image_size, tumor=False, seed=42,
+            mean_t1=d.mean_t1, std_t1=d.std_t1,
+            mean_flair=d.mean_flair, std_flair=d.std_flair,
+        )
+    elif cfg.data.name == "mri":
+        import glob
+
+        from localdiffusion_tpu.data import BRATSPngDataset
+
+        files = np.array(sorted(glob.glob(cfg.data.mri_files)))
+        np.random.seed(42)
+        np.random.shuffle(files)
+        ds = BRATSPngDataset(cfg.data, files[: args.max_images], train=True,
+                             crop=cfg.diffusion.image_size)
+        _, lr, _ = ds.as_arrays()
+    elif "mvtec" in cfg.data.name:
+        import glob
+
+        from localdiffusion_tpu.data import MvtecDatasetSR
+
+        files = np.array(sorted(glob.glob(cfg.data.mvtec_path)))
+        ds = MvtecDatasetSR(files, train=True, size=cfg.diffusion.image_size,
+                            max_num=args.max_images)
+        _, lr, _, _ = ds.as_arrays()
     else:
-        raise NotImplementedError("mri/mvtec memory banks: supply images via --config")
+        raise NotImplementedError(f"unknown dataset {cfg.data.name}")
 
     pc = PatchCore(cfg.ood, rng=jax.random.PRNGKey(0))
     batches = []

@@ -99,8 +99,35 @@ def main():
         num = cfg.data.anomaly_name
         ds = MNISTDataset(imgs, labels, num=[num], max_file=args.max_images)
         hr, lr, _ = ds.as_arrays()
+    elif cfg.data.name == "mri":
+        import glob
+
+        from localdiffusion_tpu.data import BRATSPngDataset
+
+        files = np.array(sorted(glob.glob(cfg.data.mri_files)))
+        np.random.seed(42)
+        np.random.shuffle(files)
+        split = int(0.5 * len(files))  # OOD test half (reference test.py:74-80)
+        ds = BRATSPngDataset(cfg.data, files[split:], train=False, tumor=True,
+                             crop=cfg.diffusion.image_size,
+                             max_test=args.max_images, mode="t1")
+        hr, lr, seg = ds.as_arrays()
+        seg_pairs = seg
+    elif "mvtec" in cfg.data.name:
+        import glob
+
+        from localdiffusion_tpu.data import MvtecDatasetSR
+
+        files = np.array(sorted(glob.glob(cfg.data.mvtec_path)))
+        np.random.seed(42)
+        np.random.shuffle(files)
+        ds = MvtecDatasetSR(files, train=False,
+                            mode=[str(cfg.data.anomaly_name)],
+                            size=cfg.diffusion.image_size,
+                            max_num=args.max_images)
+        hr, lr, _, _ = ds.as_arrays()
     else:
-        raise NotImplementedError("mri/mvtec flows: see docs/DATASETS.md")
+        raise NotImplementedError(f"unknown dataset {cfg.data.name}")
 
     frontend = None
     if cfg.ood.detector == "seg":

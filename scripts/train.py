@@ -89,7 +89,37 @@ def build_dataset(cfg):
         ds = MNISTDataset(imgs, labels)
         hr, lr, _ = ds.as_arrays()
         return (hr[:400], lr[:400]), (hr[400:], lr[400:])
-    raise NotImplementedError(f"dataset {name}: use scripts for mri/mvtec flows")
+    if name == "mri":
+        import glob
+
+        from localdiffusion_tpu.data import BRATSPngDataset
+
+        files = np.array(sorted(glob.glob(cfg.data.mri_files)))
+        np.random.seed(42)
+        np.random.shuffle(files)  # reference seeded shuffle (test.py:71-73)
+        split = int(0.5 * len(files))
+        tr = BRATSPngDataset(cfg.data, files[:split], train=True,
+                             crop=cfg.diffusion.image_size)
+        te = BRATSPngDataset(cfg.data, files[split:], train=False, tumor=False,
+                             crop=cfg.diffusion.image_size)
+        hr, lr, _ = tr.as_arrays()
+        hr_te, lr_te, _ = te.as_arrays()
+        return (hr, lr), (hr_te, lr_te)
+    if "mvtec" in name:
+        import glob
+
+        from localdiffusion_tpu.data import MvtecDatasetSR
+
+        files = np.array(sorted(glob.glob(cfg.data.mvtec_path)))
+        np.random.seed(42)
+        np.random.shuffle(files)
+        tr = MvtecDatasetSR(files, train=True, size=cfg.diffusion.image_size)
+        te = MvtecDatasetSR(files, train=False, size=cfg.diffusion.image_size,
+                            max_num=24)
+        hr, lr, _, _ = tr.as_arrays()
+        hr_te, lr_te, _, _ = te.as_arrays()
+        return (hr, lr), (hr_te, lr_te)
+    raise NotImplementedError(f"unknown dataset {name}")
 
 
 def main():
