@@ -91,6 +91,12 @@ class GaussianDiffusion:
         noise: jnp.ndarray,
         offset_noise: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        """Noise-injection training loss (reference ddpm.py:1156-1201).
+
+        offset_noise: optional [B, C] per-channel shift added at
+        `offset_noise_strength` (the crosslabs offset-noise trick,
+        ddpm.py:1165-1167).
+        """
         sched = self.schedule
         if offset_noise is not None and self.diff_cfg.offset_noise_strength > 0.0:
             noise = noise + self.diff_cfg.offset_noise_strength * offset_noise[
@@ -116,12 +122,17 @@ class GaussianDiffusion:
     def loss(self, params, rng, x_start, cond) -> jnp.ndarray:
         """Sample t ~ U[0,T) and noise, then p_losses (reference ddpm.py:1203-1214)."""
         b = x_start.shape[0]
-        t_key, n_key = jax.random.split(rng)
+        t_key, n_key, o_key = jax.random.split(rng, 3)
         t = jax.random.randint(t_key, (b,), 0, self.num_timesteps)
         noise = jax.random.normal(n_key, x_start.shape, dtype=x_start.dtype)
+        offset_noise = None
+        if self.diff_cfg.offset_noise_strength > 0.0:
+            offset_noise = jax.random.normal(
+                o_key, (b, x_start.shape[-1]), dtype=x_start.dtype
+            )
         if self.diff_cfg.auto_normalize:
             x_start = dm.normalize_to_neg_one_to_one(x_start)
-        return self.p_losses(params, x_start, cond, t, noise)
+        return self.p_losses(params, x_start, cond, t, noise, offset_noise)
 
     # ------------------------------------------------------------------
     # prediction conversion (reference ddpm.py:668-766, non-branched path)

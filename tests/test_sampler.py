@@ -286,3 +286,17 @@ def test_sampling_determinism_fixed_key():
         gd, params, cond, mask, jax.random.PRNGKey(99), scfg, MMV
     )
     assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_offset_noise_active_when_configured():
+    mcfg = ModelConfig(dim=8, dim_mults=(1, 2), full_attn=(False, True), channels=1)
+    base = DiffusionConfig(image_size=8, timesteps=10)
+    with_off = DiffusionConfig(image_size=8, timesteps=10, offset_noise_strength=0.5)
+    gd0 = GaussianDiffusion(mcfg, base)
+    gd1 = GaussianDiffusion(mcfg, with_off)
+    params = gd0.init_params(KEY)
+    x = jnp.ones((2, 8, 8, 1))
+    cond = jnp.ones((2, 8, 8, 1))
+    l0 = gd0.loss(params, KEY, x, cond)
+    l1 = gd1.loss(params, KEY, x, cond)
+    assert float(l0) != float(l1)  # offset noise changes the target path
