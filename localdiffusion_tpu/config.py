@@ -453,9 +453,9 @@ def min_max_val_for(config: Config) -> Tuple[float, float]:
     translate_zero shift.
     """
     name = config.data.name
-    if name in ("mnist", "mvtec", "mvtecSR"):
+    if name in ("mnist", "mvtec", "mvtecSR", "synthetic", "synthetic_texture"):
         return (0.0, 2.0)
-    if name == "mri":
+    if name in ("mri", "synthetic_brain"):
         d = config.data
         if not d.translate_zero:
             max_val = (4096.0 - d.mean_flair) / d.std_flair

@@ -217,8 +217,13 @@ def main():
         if step % 10 == 0 or step == steps - 1:
             print(f"step {step}: loss {loss:.5f} ({time.time() - t0:.1f}s)")
         if (step + 1) % save_every == 0 or step == steps - 1:
+            from localdiffusion_tpu.config import min_max_val_for
+
             ek = jax.random.PRNGKey(0)
-            m = trainer.eval_sample_mse(state, hr_te[:8], lr_te[:8], ek)
+            m = trainer.eval_sample_mse(
+                state, hr_te[:8], lr_te[:8], ek,
+                min_max_val=min_max_val_for(cfg),
+            )
             print(f"  eval sample MSE: {m:.5f}")
             if m < best:
                 best = m
