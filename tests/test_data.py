@@ -189,3 +189,45 @@ def test_image_folder_dataset(tmp_path):
     out = ds.as_arrays()
     assert out.shape == (2, 12, 12, 3)
     assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_brats_volume_dataset():
+    from localdiffusion_tpu.config import DataConfig
+    from localdiffusion_tpu.data import BRATSVolumeDataset
+
+    rng = np.random.default_rng(0)
+    t1 = [rng.uniform(0, 1000, (130, 48, 48)).astype(np.float32)]
+    fl = [rng.uniform(0, 800, (130, 48, 48)).astype(np.float32)]
+    seg = [np.zeros((130, 48, 48), np.float32)]
+    cfg = DataConfig(name="mri")
+    ds = BRATSVolumeDataset(cfg, t1, fl, seg, crop=32)
+    # slice range 60-120 step 5 (reference data.py:478-480)
+    assert len(ds) == 12
+    a, b, s = ds[0]
+    assert a.shape == (32, 32, 1) and b.shape == (32, 32, 1)
+    assert a.min() >= 0.0  # translate_zero
+
+
+def test_brats_seg_dataset(tmp_path):
+    from PIL import Image
+
+    from localdiffusion_tpu.config import DataConfig
+    from localdiffusion_tpu.data import BRATSPngDataset, BRATSSegDataset
+
+    rng = np.random.default_rng(1)
+    flairs = []
+    for i in range(2):
+        t1 = rng.uniform(0, 800, (40, 40)).astype(np.uint16)
+        fl = rng.uniform(0, 600, (40, 40)).astype(np.uint16)
+        seg = np.zeros((40, 40), np.uint8)
+        seg[2:38, 2:38] = 2  # nonbinary labels; >1% of 256^2 area
+        Image.fromarray(t1).save(tmp_path / f"c{i}_t1.png")
+        Image.fromarray(fl).save(tmp_path / f"c{i}_flair.png")
+        np.save(tmp_path / f"c{i}_seg.npy", seg)
+        flairs.append(str(tmp_path / f"c{i}_flair.png"))
+    cfg = DataConfig(name="mri")
+    base = BRATSPngDataset(cfg, flairs, train=False, tumor=True, crop=32)
+    seg_ds = BRATSSegDataset(base)
+    img, seg = seg_ds[0]
+    assert seg.shape == (32, 32, 1)
+    assert set(np.unique(seg)) <= {0.0, 1.0}  # binarized
