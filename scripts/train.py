@@ -201,10 +201,10 @@ def main():
         data_lr = jnp.asarray(lr_tr)
         epoch_fn = trainer.epoch_resident_fn(len(hr_tr), args.batch_size)
 
-    for _ in range(start_step):
-        rng, _ = jax.random.split(rng)  # keep the rng stream aligned on resume
     for step in range(start_step, steps):
-        rng, sub = jax.random.split(rng)
+        # per-step key via fold_in: O(1) resume realignment (a split-chain
+        # would replay start_step device calls)
+        sub = jax.random.fold_in(rng, step)
         if args.step_mode == "resident":
             state, loss = epoch_fn(state, data_hr, data_lr, sub)
             loss = float(loss)
