@@ -85,8 +85,10 @@ def build_dataset(cfg):
     if name == "synthetic":
         from localdiffusion_tpu.data import synthetic_digits
 
-        imgs, labels = synthetic_digits(512, seed=42, digit=8)
-        ds = MNISTDataset(imgs, labels)
+        imgs, labels = synthetic_digits(
+            512, size=cfg.diffusion.image_size, seed=42, digit=8
+        )
+        ds = MNISTDataset(imgs, labels, lr_mode="full")
         hr, lr, _ = ds.as_arrays()
         return (hr[:400], lr[:400]), (hr[400:], lr[400:])
     if name == "mri":
