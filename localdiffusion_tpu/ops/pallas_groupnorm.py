@@ -173,10 +173,128 @@ def groupnorm_film_silu(
     """
     b, h, w, c = x.shape
     block_bytes = h * w * c * 4
-    if (interpret or jax.default_backend() == "tpu") and (
-        interpret or block_bytes <= _MAX_VMEM_BLOCK_BYTES
-    ):
+    on_tpu = jax.default_backend() == "tpu"
+    if interpret or (on_tpu and block_bytes <= _MAX_VMEM_BLOCK_BYTES):
         return _gn_film_silu(
             x, gamma, beta, scale, shift, groups, eps, bool(interpret)
         )
+    if on_tpu and (h * w) % 8 == 0:
+        # large spatial blocks: tiled two-pass kernel (stats then apply)
+        return _gn_tiled(x, gamma, beta, scale, shift, groups, eps, False)
     return groupnorm_film_silu_reference(x, gamma, beta, scale, shift, groups, eps)
+
+
+# ---------------------------------------------------------------------------
+# tiled two-pass variant for large spatial blocks (256px stages)
+# ---------------------------------------------------------------------------
+
+def _stats_kernel(x_ref, o_ref):
+    """Accumulate per-channel [sum; sumsq] across HW tiles of one batch row.
+
+    Output block [1, 2, C] is revisited across the tile grid dimension —
+    Mosaic executes grid steps sequentially per core, so accumulation into
+    the same output block is the standard reduction pattern.
+    """
+    j = pl.program_id(1)
+    x = x_ref[0].astype(jnp.float32)  # [TILE, C]
+    part = jnp.stack([jnp.sum(x, axis=0), jnp.sum(x * x, axis=0)])  # [2, C]
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[0] = part
+
+    @pl.when(j > 0)
+    def _():
+        o_ref[0] = o_ref[0] + part
+
+
+def _apply_kernel(x_ref, mean_ref, inv_ref, gamma_ref, beta_ref,
+                  scale_ref, shift_ref, o_ref, *, film: bool):
+    i = pl.program_id(0)
+    x = x_ref[0].astype(jnp.float32)
+    y = (x - mean_ref[pl.ds(i, 1), :]) * inv_ref[pl.ds(i, 1), :]
+    y = y * gamma_ref[:] + beta_ref[:]
+    if film:
+        y = y * (scale_ref[pl.ds(i, 1), :] + 1.0) + shift_ref[pl.ds(i, 1), :]
+    o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
+
+
+def _pick_tile(hw: int, c: int, budget: int = _MAX_VMEM_BLOCK_BYTES) -> int:
+    max_rows = max(8, budget // (c * 4))
+    t = 1
+    for d in range(1, hw + 1):
+        if hw % d == 0 and d <= max_rows:
+            t = d
+    return t
+
+
+def _gn_tiled_impl(x, gamma, beta, scale, shift, groups, eps, interpret=False):
+    b, h, w, c = x.shape
+    hw = h * w
+    film = scale is not None
+    xf = x.reshape(b, hw, c)
+    tile = _pick_tile(hw, c)
+    nt = hw // tile
+
+    stats = pl.pallas_call(
+        _stats_kernel,
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 2, c), jnp.float32),
+        interpret=interpret,
+    )(xf)
+
+    # group reduction of the per-channel stats (tiny, XLA)
+    cg = c // groups
+    s = stats[:, 0].reshape(b, groups, cg).sum(-1)  # [B, G]
+    ss = stats[:, 1].reshape(b, groups, cg).sum(-1)
+    denom = float(hw * cg)
+    g_mean = s / denom
+    g_var = ss / denom - g_mean**2
+    mean_c = jnp.repeat(g_mean, cg, axis=-1)  # [B, C]
+    inv_c = jax.lax.rsqrt(jnp.repeat(g_var, cg, axis=-1) + eps)
+
+    if not film:
+        scale = jnp.zeros((b, c), jnp.float32)
+        shift = jnp.zeros((b, c), jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_apply_kernel, film=film),
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+        interpret=interpret,
+    )(xf, mean_c, inv_c, gamma.astype(jnp.float32), beta.astype(jnp.float32),
+      scale.astype(jnp.float32), shift.astype(jnp.float32))
+    return out.reshape(b, h, w, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _gn_tiled(x, gamma, beta, scale, shift, groups, eps, interpret=False):
+    return _gn_tiled_impl(x, gamma, beta, scale, shift, groups, eps, interpret)
+
+
+def _gn_tiled_fwd(x, gamma, beta, scale, shift, groups, eps, interpret=False):
+    return (
+        _gn_tiled_impl(x, gamma, beta, scale, shift, groups, eps, interpret),
+        (x, gamma, beta, scale, shift),
+    )
+
+
+_gn_tiled.defvjp(_gn_tiled_fwd, _gn_vjp_bwd)

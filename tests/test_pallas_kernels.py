@@ -79,3 +79,18 @@ def test_groupnorm_matches_torch():
         )[:, :, None, None]
         want = torch.nn.functional.silu(y).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("film", [True, False])
+def test_tiled_groupnorm_parity_interpret(film):
+    from localdiffusion_tpu.ops.pallas_groupnorm import _gn_tiled
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 32)).astype(np.float32))
+    gamma = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+    beta = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32)) if film else None
+    shift = jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32)) if film else None
+    want = groupnorm_film_silu_reference(x, gamma, beta, scale, shift, groups=8)
+    got = _gn_tiled(x, gamma, beta, scale, shift, 8, 1e-5, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
