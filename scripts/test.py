@@ -95,7 +95,9 @@ def main():
             )
         except (FileNotFoundError, OSError):
             print("MNIST test files not found — synthetic")
-            imgs, labels = synthetic_digits(256, seed=0)
+            imgs, labels = synthetic_digits(
+                256, size=cfg.diffusion.image_size, seed=0
+            )
         num = cfg.data.anomaly_name
         ds = MNISTDataset(imgs, labels, num=[num], max_file=args.max_images)
         hr, lr, _ = ds.as_arrays()

@@ -45,7 +45,9 @@ def build_dataset(cfg):
             )
         except (FileNotFoundError, OSError):
             print("MNIST files not found — using synthetic digits")
-            imgs, labels = synthetic_digits(2048, seed=42)
+            imgs, labels = synthetic_digits(
+                2048, size=cfg.diffusion.image_size, seed=42
+            )
         # reference 70% train split over digit-8 images (ddpm.py:1330-1359)
         n = len(imgs)
         split = int(0.7 * n)
