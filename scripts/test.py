@@ -24,7 +24,8 @@ def main():
     enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="config.yaml")
-    ap.add_argument("--milestone", default="best")
+    ap.add_argument("--milestone", default="latest",
+                    help="checkpoint milestone (train saves model-latest + model-best<N>)")
     ap.add_argument("--detector", default=None,
                     help="override ood detector (patchcore|seg|manual|none)")
     ap.add_argument("--max-images", type=int, default=100)
