@@ -72,17 +72,24 @@ def build_dataset(cfg):
             translate_zero=d.translate_zero,
         )
         return (hr, lr), (hr_te, lr_te)
-    if name == "synthetic_texture":
+    if name.startswith("synthetic_texture"):
+        from localdiffusion_tpu.data.mvtec import salt_and_pepper, sr_degrade
         from localdiffusion_tpu.data.synthetic import synthetic_textures
-        from localdiffusion_tpu.data.mvtec import sr_degrade
 
+        denoise = name.endswith("denoise")  # s&p conditioning (data.py:248-277)
         size = cfg.diffusion.image_size
+
+        def degrade(im2, i):
+            if denoise:
+                return salt_and_pepper(im2 / 2.0, seed=i) * 2.0
+            return sr_degrade(im2)
+
         imgs, _ = synthetic_textures(192, size=size, seed=42)
         imgs2 = imgs * 2.0  # [0, 2] like the mvtec loaders (data.py:294-297)
-        lr = np.stack([sr_degrade(im) for im in imgs2])
+        lr = np.stack([degrade(im, i) for i, im in enumerate(imgs2)])
         imgs_te, _ = synthetic_textures(24, size=size, seed=7)
         hr_te = imgs_te * 2.0
-        lr_te = np.stack([sr_degrade(im) for im in hr_te])
+        lr_te = np.stack([degrade(im, 1000 + i) for i, im in enumerate(hr_te)])
         return (imgs2, lr), (hr_te, lr_te)
     if name == "synthetic":
         from localdiffusion_tpu.data import synthetic_digits
