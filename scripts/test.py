@@ -77,16 +77,22 @@ def main():
             translate_zero=d.translate_zero,
         )
         seg_pairs = seg
-    elif cfg.data.name == "synthetic_texture":
-        from localdiffusion_tpu.data.mvtec import sr_degrade
+    elif cfg.data.name.startswith("synthetic_texture"):
+        from localdiffusion_tpu.data.mvtec import salt_and_pepper, sr_degrade
         from localdiffusion_tpu.data.synthetic import synthetic_textures
 
+        denoise = cfg.data.name.endswith("denoise")
         size = cfg.diffusion.image_size
         imgs, dmasks = synthetic_textures(
             min(args.max_images, 16), size=size, seed=0, defect=True
         )
         hr = imgs * 2.0
-        lr = np.stack([sr_degrade(im) for im in hr])
+        if denoise:
+            lr = np.stack(
+                [salt_and_pepper(im / 2.0, seed=i) * 2.0 for i, im in enumerate(hr)]
+            )
+        else:
+            lr = np.stack([sr_degrade(im) for im in hr])
         seg_pairs = dmasks  # defect masks usable as gt masks
     elif cfg.data.name == "mnist":
         try:
