@@ -29,7 +29,8 @@ def main():
     ap.add_argument("--detector", default=None,
                     help="override ood detector (patchcore|seg|manual|none)")
     ap.add_argument("--max-images", type=int, default=100)
-    ap.add_argument("--save-prefix", default="")
+    ap.add_argument("--save-prefix", default=None,
+                    help="dump hr_all/lr_all/pred_all/ad_masks npys with this prefix")
     args = ap.parse_args()
 
     from scripts.train import load_config
