@@ -126,9 +126,29 @@ def measure_cpu_baseline(repeats: int = 10) -> float:
     return 1.0 / dt  # steps/sec
 
 
+# peak dense-matmul TFLOP/s per chip by device kind (bf16), for MFU.
+# Sources: public TPU spec sheets (v4 275, v5e 197, v5p 459, v6e 918).
+_PEAK_BF16_TFLOPS = (
+    ("v6", 918.0),
+    ("v5p", 459.0),
+    ("v5 lite", 197.0),
+    ("v5e", 197.0),
+    ("v5", 459.0),
+    ("v4", 275.0),
+)
+
+
+def peak_tflops_for(device_kind: str):
+    dk = device_kind.lower()
+    for key, tf in _PEAK_BF16_TFLOPS:
+        if key in dk:
+            return tf
+    return None
+
+
 def measure_tpu(batch: int = 64, timesteps: int = 50, repeats: int = 3,
                 image_size: int = 28, four_stage: bool = False,
-                bf16: bool = False):
+                bf16: bool = False, profile_dir: str | None = None):
     """Branched local-diffusion sampling throughput on the attached chip."""
     import jax
     import jax.numpy as jnp
@@ -173,6 +193,24 @@ def measure_tpu(batch: int = 64, timesteps: int = 50, repeats: int = 3,
     )
     key = jax.random.PRNGKey(10)
     out = jax.block_until_ready(fn(params, cond, mask, key))  # compile
+
+    # FLOPs of the whole compiled sampling program from XLA's own cost
+    # analysis (counts every op, not just matmuls) → achieved TFLOP/s & MFU
+    flops = None
+    try:
+        ca = fn.lower(params, cond, mask, key).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    if profile_dir:
+        from localdiffusion_tpu.utils.logging import profile_trace
+
+        with profile_trace(profile_dir):
+            jax.block_until_ready(fn(params, cond, mask, jax.random.PRNGKey(99)))
+
     t0 = time.perf_counter()
     for i in range(repeats):
         out = jax.block_until_ready(fn(params, cond, mask, jax.random.PRNGKey(i)))
@@ -185,7 +223,8 @@ def measure_tpu(batch: int = 64, timesteps: int = 50, repeats: int = 3,
     model_steps_per_image = 2 * branched_steps + fused_steps
     steps_per_sec = batch * model_steps_per_image / dt
     images_per_sec = batch / dt
-    return steps_per_sec, images_per_sec, dt
+    achieved_tflops = (flops / dt / 1e12) if flops else None
+    return steps_per_sec, images_per_sec, dt, achieved_tflops
 
 
 def main():
@@ -202,6 +241,9 @@ def main():
                     help="bf16 compute, params stay f32 (quality-identical "
                          "to f32 on the flagship: mse 0.16324 vs 0.16324 on "
                          "the same images; --no-bf16 for f32)")
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler trace of one sampling call "
+                         "to /tmp/jax_trace (view with xprof/TensorBoard)")
     args = ap.parse_args()
 
     if args.measure_cpu_baseline:
@@ -216,8 +258,9 @@ def main():
         with open(BASELINE_CPU_FILE) as f:
             baseline = json.load(f)["cpu_torch_steps_per_sec"]
 
-    steps_per_sec, images_per_sec, dt = measure_tpu(
-        args.batch, args.timesteps, bf16=args.bf16
+    profile_dir = "/tmp/jax_trace" if args.profile else None
+    steps_per_sec, images_per_sec, dt, tflops = measure_tpu(
+        args.batch, args.timesteps, bf16=args.bf16, profile_dir=profile_dir
     )
     vs = steps_per_sec / baseline if baseline else None
     record = {
@@ -234,13 +277,32 @@ def main():
     }
     if args.bf16:
         record["compute_dtype"] = "bfloat16"
+
+    import jax as _jax
+
+    device_kind = _jax.devices()[0].device_kind
+    record["device_kind"] = device_kind
+    peak = peak_tflops_for(device_kind)
+    if tflops is not None:
+        record["achieved_tflops"] = round(tflops, 2)
+        if peak and args.bf16:
+            # MFU vs the chip's peak bf16 dense-matmul rate; the 28px
+            # flagship is dispatch/HBM-bound, so this is expected to be low
+            # — the 256px figure (--mri256) is the compute-bound one
+            record["mfu"] = round(tflops / peak, 4)
+    if profile_dir:
+        record["trace_dir"] = profile_dir
     if args.mri256:
-        sps256, ips256, dt256 = measure_tpu(
+        sps256, ips256, dt256, tflops256 = measure_tpu(
             batch=4, timesteps=args.timesteps, image_size=256, four_stage=True,
             bf16=args.bf16,
         )
         record["images_per_sec_256px"] = round(ips256, 3)
         record["steps_per_sec_256px"] = round(sps256, 2)
+        if tflops256 is not None:
+            record["achieved_tflops_256px"] = round(tflops256, 2)
+            if peak and args.bf16:
+                record["mfu_256px"] = round(tflops256 / peak, 4)
     print(json.dumps(record))
 
 

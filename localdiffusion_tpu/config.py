@@ -142,6 +142,10 @@ class SamplerConfig:
     start_timestep: int = 2  # fusion point: fuse when t <= start_timestep
     use_gt: bool = False
     use_gt_timestep: int = 100
+    # set (with mask_x) by sampler.reconcile() when ood_ad/ood_confidence
+    # (reference ddpm.py:1106-1108); like the reference, no compute reads it
+    # beyond that reconciliation — the reference only ever assigns it
+    # (ddpm.py:1107, 1114) and prints it (ddpm.py:1119)
     mask_cond: bool = False
     mask_x: bool = True
     # OOD-branch output policy under mask_x (reference ddpm.py:697-708):
@@ -153,17 +157,24 @@ class SamplerConfig:
     # (reference ddpm.py:683-686): clip(1-mask, lo, 1.0)
     cond_in_floor: float = 0.5  # 0.5 for mnist, 0.95 otherwise
     classifier: bool = False
+    # selects the classifier oracle's own memory bank
+    # (reference models.py:278-287: patchcore_mnist_{obj}_hr.pth /
+    # memory_bank_mvtec_{obj}.npy); consumed by scripts/test.py
     classifier_obj: str = "tile"
     ood_ad: bool = True
+    # confidence-driven run: like ood_ad, forces mask_cond/mask_x on at
+    # dispatch (reference ddpm.py:1106-1108, our sampler.reconcile)
     ood_confidence: bool = False
     return_all_timesteps: bool = False
     # parity flag: fuse noisy states with the reference's zero-sentinel
     # where(x_out == 0, x_in, x_out) (reference ddpm.py:797, 1035).  'mask'
     # routes by the binary mask instead (robust to genuinely-zero pixels).
     fusion_route: str = "zero_sentinel"  # zero_sentinel | mask
-    # classifier-gated re-branching retry budget (reference retries an
-    # unbounded number of steps, ddpm.py:883-916; bounded here for jit).
-    max_classifier_retries: int = 8
+    # classifier-gated re-branching retry budget: after this many per-sample
+    # rejections the gate force-accepts the plain chain.  0 = unbounded,
+    # reproducing the reference exactly (it retries until accept or t == 0,
+    # ddpm.py:883-916).
+    max_classifier_retries: int = 0
 
     def __post_init__(self):
         if self.mask_x_policy not in ("cond", "minval"):
@@ -187,6 +198,12 @@ class OODConfig:
     num_neighbors: int = 9
     coreset_ratio: float = 0.1
     memory_bank_path: Optional[str] = None
+    # fitted threshold ladder (JSON from ood.thresholds.fit_ladder/
+    # save_ladder) — self-calibrated from normal-set anomaly scores by
+    # scripts/anomaly_model_train.py; preferred over the hand-tuned
+    # reference ladders (test.py:251-375) when present, since those are
+    # only valid for the reference's pretrained backbone
+    ladder_path: Optional[str] = None
     backbone_weights_path: Optional[str] = None  # torch state-dict → flax
     seg_model_path: Optional[str] = None
     # fixed classifier threshold; None → ROC-calibrate from a labeled loader

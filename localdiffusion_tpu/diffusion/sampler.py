@@ -25,6 +25,8 @@ time pairs.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 from typing import Callable, Optional, Tuple
 
@@ -34,6 +36,21 @@ import jax.numpy as jnp
 from localdiffusion_tpu.config import SamplerConfig
 from localdiffusion_tpu.diffusion.gaussian import GaussianDiffusion
 from localdiffusion_tpu.ops import diffusion_math as dm
+
+
+def reconcile(scfg: SamplerConfig) -> SamplerConfig:
+    """Per-call flag reconciliation (reference ddpm.py:1106-1108).
+
+    A detector-driven (`ood_AD`) or confidence-driven (`ood_confidence`) run
+    forces `mask_cond` and `mask_x` on in the reference, so the fusion
+    algebra `x_start = xs_in·(1-m) + xs_out` always sees a mask_x-masked OOD
+    branch.  Without this a config with `mask_x: false` plus branching would
+    add the *unmasked* OOD-branch estimate over the whole image.  Applied at
+    the top of every branched sampling program.
+    """
+    if (scfg.ood_ad or scfg.ood_confidence) and not (scfg.mask_x and scfg.mask_cond):
+        scfg = dataclasses.replace(scfg, mask_x=True, mask_cond=True)
+    return scfg
 
 
 # ---------------------------------------------------------------------------
@@ -98,7 +115,10 @@ def fuse_noisy_states(
 # sampling programs
 # ---------------------------------------------------------------------------
 
-ClassifierFn = Callable[[jnp.ndarray], jnp.ndarray]  # x_start -> score per batch
+# (x_start, t) -> score per batch; accept where score > 0 (ddpm.py:888).
+# t is the current scan timestep (traced scalar) — production gates ignore
+# it; test oracles use it to script per-step verdicts.
+ClassifierFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
 def _noise_like(key, x, t):
@@ -190,14 +210,19 @@ def ddpm_sample_branched(
     return_all: bool = False,
     branch_sharding=None,
     return_debug: bool = False,
+    return_fusion_time: bool = False,
 ):
     """Branched local-diffusion DDPM with mid-chain fusion.
 
     Implements reference ddpm.py:668-977 as the three-phase scan program
     described in the module docstring.  Returns the final image [B,H,W,C]
     (or the branch pair [2,B,H,W,C] when start_intermediate is False —
-    reference ddpm.py:965-970).
+    reference ddpm.py:965-970).  With `return_fusion_time`, also returns
+    the per-sample first-acceptance timestep of the classifier gate
+    ([B] int32, the reference's `fusion_time.npy` diagnostic,
+    ddpm.py:902-903; default = num_timesteps when the gate never ran).
     """
+    scfg = reconcile(scfg)
     sched = gd.schedule
     lo, hi = min_max_val
     b = cond.shape[0]
@@ -223,14 +248,18 @@ def ddpm_sample_branched(
 
     x_pair = jnp.stack([img0, img0])  # both branches start from shared noise
 
-    def branch_starts(x_pair, tb):
-        """Model predictions for both branches incl. mask_x policy + clip."""
+    def branch_starts(x_pair, tb, force_mask_x=False):
+        """Model predictions for both branches incl. mask_x policy + clip.
+
+        `force_mask_x` models the reference's classifier-rejection re-entry,
+        which sets mask_x=True before redoing the step (ddpm.py:910).
+        """
         mo_out, mo_in = _branched_model_call(
             gd, params, x_pair, tb, feat_pair, branch_sharding
         )
         xs_out = dm.model_output_to_x_start(sched, mo_out, x_pair[0], tb)
         xs_in = dm.model_output_to_x_start(sched, mo_in, x_pair[1], tb)
-        if scfg.mask_x:
+        if scfg.mask_x or force_mask_x:
             xs_out = apply_mask_x(xs_out, m, cond_out, lo, scfg.mask_x_policy)
         xs_out = jnp.clip(xs_out, lo, hi)
         xs_in = jnp.clip(xs_in, lo, hi)
@@ -267,9 +296,9 @@ def ddpm_sample_branched(
     # ---- fusion at t = s (ddpm.py:779-810) ----
     debug_state = {}
 
-    def fuse_step(x_pair, t, k, capture_debug=False):
+    def fuse_step(x_pair, t, k, capture_debug=False, force_mask_x=False):
         tb = jnp.full((b,), t, dtype=jnp.int32)
-        xs_out, xs_in = branch_starts(x_pair, tb)
+        xs_out, xs_in = branch_starts(x_pair, tb, force_mask_x=force_mask_x)
         x_start = xs_in * (1.0 - m) + xs_out  # xs_out is mask_x-masked
         x_out_masked = x_pair[0] * m
         x_in_masked = x_pair[1] * (1.0 - m)
@@ -290,8 +319,19 @@ def ddpm_sample_branched(
     t_fuse = min(s, t_top - 1)
     img, branchout_pair = fuse_step(x_pair, t_fuse, fk, capture_debug=return_debug)
 
+    use_classifier = scfg.classifier and classifier_fn is not None
+    accept_t = jnp.full((b,), gd.num_timesteps, jnp.int32)
+
+    def _ret(img, accept_t):
+        if return_debug:
+            debug_state["fusion_time"] = accept_t
+            return img, debug_state
+        if return_fusion_time:
+            return img, accept_t
+        return img
+
     if t_fuse == 0:
-        return (img, debug_state) if return_debug else img
+        return _ret(img, accept_t)
 
     # ---- phase B: fused steps t ∈ [s-1 .. 0] ----
     def plain_step(x, t, k):
@@ -303,34 +343,54 @@ def ddpm_sample_branched(
         noise = _noise_like(k, x, t)
         return mean + jnp.exp(0.5 * logvar) * noise, x_start
 
-    use_classifier = scfg.classifier and classifier_fn is not None
     x_branchout = jnp.stack(branchout_pair)
+    retry_budget = int(scfg.max_classifier_retries)
 
     def fused_phase_step(carry, t):
-        x, k, accepted = carry
+        x, k, accepted, acc_t, rejects = carry
         k, pk, rk = jax.random.split(k, 3)
         img_plain, xs_plain = plain_step(x, t, pk)
 
         if not use_classifier:
-            return (img_plain, k, accepted), None
+            return (img_plain, k, accepted, acc_t, rejects), None
 
-        # classifier gate (reference ddpm.py:883-916): accept the fused
-        # estimate if classified as anomalous (score > 0) or at t == 0;
-        # otherwise redo this step branched from the saved masked pair
-        # and re-fuse.
-        score = classifier_fn(xs_plain)
-        accept_now = jnp.logical_or(jnp.any(score > 0.0), t == 0)
-        img_retry, _ = fuse_step(x_branchout, t, rk)
-        use_plain = jnp.logical_or(accepted, accept_now)
-        img_next = jnp.where(use_plain, img_plain, img_retry)
-        accepted_next = jnp.logical_or(accepted, accept_now)
-        return (img_next, k, accepted_next), None
+        # classifier gate (reference ddpm.py:883-916): per sample, accept
+        # the fused estimate if classified as anomalous (score > 0) or at
+        # t == 0 (or when the retry budget is exhausted — our bounded
+        # extension; max_classifier_retries == 0 reproduces the reference's
+        # unbounded retry).  A rejected sample discards the plain step and
+        # instead re-fuses the saved masked branch pair with fresh model
+        # predictions at the current t (the reference's
+        # p_sample(self.x_branchout, ..., self.t) re-entry, ddpm.py:911;
+        # x_branchout itself is never advanced — its update at ddpm.py:795
+        # is idempotent since the pair is already masked).  Once accepted,
+        # a sample stays on the plain chain (classifier_flag latch,
+        # ddpm.py:898-900).
+        score = jnp.reshape(classifier_fn(xs_plain, t), (b,))
+        budget_hit = (
+            rejects >= retry_budget
+            if retry_budget > 0
+            else jnp.zeros((b,), bool)
+        )
+        accept_now = (score > 0.0) | (t == 0) | budget_hit
+        img_retry, _ = fuse_step(x_branchout, t, rk, force_mask_x=True)
+        use_plain = accepted | accept_now
+        sel = use_plain[:, None, None, None]
+        img_next = jnp.where(sel, img_plain, img_retry)
+        acc_t_next = jnp.where(
+            accepted, acc_t, jnp.where(accept_now, t, acc_t)
+        )
+        rejects_next = rejects + (~use_plain).astype(jnp.int32)
+        return (img_next, k, use_plain, acc_t_next, rejects_next), None
 
     ts = jnp.arange(t_fuse - 1, -1, -1)
-    (img, _, _), _ = jax.lax.scan(
-        fused_phase_step, (img, key, jnp.asarray(not use_classifier)), ts
+    accepted0 = jnp.full((b,), not use_classifier)
+    (img, _, _, accept_t, _), _ = jax.lax.scan(
+        fused_phase_step,
+        (img, key, accepted0, accept_t, jnp.zeros((b,), jnp.int32)),
+        ts,
     )
-    return (img, debug_state) if return_debug else img
+    return _ret(img, accept_t)
 
 
 def ddim_times(total_timesteps: int, sampling_timesteps: int) -> np.ndarray:
@@ -409,6 +469,7 @@ def ddim_sample_branched(
     fused with the zero-sentinel route and pred_noise via the masked route
     (ddpm.py:1025-1035); later steps run the plain DDIM update.
     """
+    scfg = reconcile(scfg)
     sched = gd.schedule
     lo, hi = min_max_val
     b = cond.shape[0]
@@ -419,7 +480,8 @@ def ddim_sample_branched(
     fuse_time = int(times[-scfg.start_timestep - 2])
     # index of the first pair whose t <= fuse_time
     pair_ts = times[:-1]
-    fuse_idx = int(np.argmax(pair_ts <= fuse_time))
+    fusible = pair_ts <= fuse_time
+    fuse_idx = int(np.argmax(fusible)) if fusible.any() else None
 
     m = binarize_mask(mask)
     cond_out, cond_in = partition_cond(cond, m, scfg.cond_in_floor)
@@ -473,7 +535,11 @@ def ddim_sample_branched(
         x_in = jnp.where(t_next < 0, xs_in, x_in)
         return (jnp.stack([x_out, x_in]), k), None
 
-    if not scfg.start_intermediate:
+    if not scfg.start_intermediate or fuse_idx is None:
+        # either branched-all-the-way by config, or the fusion time sits
+        # below every pair (start_timestep ≤ -1): the reference predicate
+        # `t <= start_timestep_ddim` never fires and the terminal pair
+        # returns the unfused branch x_starts (ddpm.py:1005-1011)
         (x_pair, _), _ = jax.lax.scan(branched_step, (x_pair, key), jnp.asarray(pairs))
         return x_pair
 
@@ -488,13 +554,16 @@ def ddim_sample_branched(
     key, nk = jax.random.split(key)
     tb = jnp.full((b,), t, dtype=jnp.int32)
     (xs_out, pn_out), (xs_in, pn_in) = branch_preds(x_pair, tb)
+    if t_next < 0:
+        # the reference checks time_next < 0 BEFORE the fusion predicate and
+        # returns the unfused branch pair (ddpm.py:1007-1011) — reached when
+        # start_timestep maps the fusion onto the terminal DDIM pair
+        return jnp.stack([xs_out, xs_in])
     x_start = fuse_noisy_states(xs_out, xs_in, m, scfg.fusion_route)
     x_start = jnp.clip(x_start, lo, hi)
     pn_out_masked = pn_out * m
     pn_in_masked = pn_in * (1.0 - m)
     pred_noise = fuse_noisy_states(pn_out_masked, pn_in_masked, m, scfg.fusion_route)
-    if t_next < 0:
-        return x_start
     alpha_next, sigma, c = ddim_coeffs(t, t_next)
     noise = jax.random.normal(nk, x_start.shape, dtype=x_start.dtype)
     img = x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
@@ -580,10 +649,12 @@ def sample(
 ):
     """Flag reconciliation + dispatch.
 
-    Host-side decisions (mirroring ddpm.py:1093-1125): a uniformly-one mask
-    (detector found no anomaly) bypasses branching entirely; DDPM vs DDIM is
-    chosen by sampling_timesteps < timesteps.
+    Host-side decisions (mirroring ddpm.py:1093-1125): detector/confidence
+    runs force mask_cond/mask_x on (ddpm.py:1106-1108, via reconcile); a
+    uniformly-one mask (detector found no anomaly) bypasses branching
+    entirely; DDPM vs DDIM is chosen by sampling_timesteps < timesteps.
     """
+    scfg = reconcile(scfg)
     branch = scfg.branch_out and mask is not None
     if branch:
         mu = np.unique(np.asarray(mask))

@@ -28,12 +28,15 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
     try:
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _SO],
-                check=True,
-                capture_output=True,
-            )
+        # always rebuild: the .so is gitignored/untracked, and -march=native
+        # makes a binary built on another host ISA-incompatible (it would
+        # SIGILL at first call, past this try/except) — a fresh local build
+        # is the only safe artifact; no toolchain → numpy fallback
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _SO],
+            check=True,
+            capture_output=True,
+        )
         lib = ctypes.CDLL(_SO)
         i64 = ctypes.c_int64
         f32p = ctypes.POINTER(ctypes.c_float)

@@ -110,7 +110,7 @@ class ClassifierPatchCore:
         denorm = self.denorm
         input_size = pc.cfg.input_size
 
-        def gate(x_start: jnp.ndarray) -> jnp.ndarray:
+        def gate(x_start: jnp.ndarray, t=None) -> jnp.ndarray:
             xin = preprocess_for_patchcore(x_start, input_size, denorm)
             _, pred_score = pc._score(xin, mem)
             return pred_score - thr

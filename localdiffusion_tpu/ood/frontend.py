@@ -14,10 +14,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from localdiffusion_tpu.config import Config
 from localdiffusion_tpu.ood.patchcore import PatchCore
 from localdiffusion_tpu.ood.thresholds import (
     ladder_for,
+    load_ladder,
     manual_mask,
     soft_mask_from_map,
 )
@@ -80,11 +83,12 @@ class OODFrontend:
         if name == "mri":
             pn = cfg.train.project_name
             return "t12flair" if "t12flair" in pn else "flair2t1"
-        # mvtec: category from the path (reference test.py:330)
+        # mvtec: category from the path (reference test.py:330); unknown
+        # categories resolve to the DEFAULT_LADDER via ladder_for
         for cat in ("transistor", "toothbrush", "grid"):
             if cat in cfg.data.mvtec_path:
                 return cat
-        raise KeyError(f"cannot infer mvtec category from {cfg.data.mvtec_path}")
+        return os.path.basename(os.path.dirname(cfg.data.mvtec_path)) or "unknown"
 
     # ------------------------------------------------------------------
     def detect(
@@ -118,7 +122,11 @@ class OODFrontend:
         if cfg.data.name in ("mnist", "mvtec", "mvtecSR"):
             amap = resize_bilinear(amap, (img_size, img_size))
         amap_np = np.asarray(amap, np.float32)
-        name = "mvtec" if "mvtec" in cfg.data.name else cfg.data.name
-        ladder = ladder_for(name, self._ladder_variant())
+        if cfg.ood.ladder_path and os.path.exists(cfg.ood.ladder_path):
+            # self-calibrated ladder fitted from normal-set scores
+            ladder = load_ladder(cfg.ood.ladder_path)
+        else:
+            name = "mvtec" if "mvtec" in cfg.data.name else cfg.data.name
+            ladder = ladder_for(name, self._ladder_variant())
         mask_pred, binary = soft_mask_from_map(amap_np, ladder)
         return mask_pred, binary, amap_np

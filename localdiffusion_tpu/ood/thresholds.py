@@ -108,31 +108,142 @@ LADDERS = {
 }
 
 
-def soft_mask_from_map(
-    anomaly_map: np.ndarray, ladder: ThresholdLadder
+def _soft_mask_single(
+    a: np.ndarray, ladder: ThresholdLadder
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """(mask_pred, binary_mask) from an anomaly map [B, H, W, 1].
-
-    mask_pred = ((clip(map, lo, thr) − min) / (thr − min))², binary at > thr
-    (reference e.g. test.py:260-263).  Uniform ones when the gate says no
-    anomaly (test.py:264-266).
-    """
-    amax = float(anomaly_map.max())
-    astd = float(anomaly_map.std())
+    """(mask_pred, binary) for ONE image's anomaly map [H, W, 1]."""
+    amax = float(a.max())
+    astd = float(a.std())
     thr = ladder.resolve_threshold(amax, astd)
     if thr is None:
-        ones = np.ones_like(anomaly_map, dtype=np.float32)
+        ones = np.ones_like(a, dtype=np.float32)
         return ones, ones
-    binary = (anomaly_map > thr).astype(np.float32)
+    if thr >= amax:
+        # fitted ladders can produce a pixel threshold above this image's
+        # max even though the gate fired; pull it below the max so the
+        # binary OOD region is non-empty (the reference asserts non-empty
+        # masked branches, ddpm.py:790)
+        thr = amax - 0.25 * max(astd, 1e-12)
+    binary = (a > thr).astype(np.float32)
     if ladder.clip_lo == "thr-std":
         lo = thr - astd
     elif ladder.clip_lo == "thr-halfstd":
         lo = thr - 0.5 * astd
     else:
-        lo = float(anomaly_map.min())
-    clipped = np.clip(anomaly_map, lo, thr)
+        lo = float(a.min())
+    clipped = np.clip(a, lo, thr)
     mask = (clipped - clipped.min()) / (thr - clipped.min())
     return (mask**2).astype(np.float32), binary
+
+
+def soft_mask_from_map(
+    anomaly_map: np.ndarray, ladder: ThresholdLadder
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(mask_pred, binary_mask) from an anomaly map [B, H, W, 1].
+
+    Per image: mask_pred = ((clip(map, lo, thr) − min) / (thr − min))²,
+    binary at > thr (reference e.g. test.py:260-263); uniform ones when the
+    gate says no anomaly (test.py:264-266).  The ladder statistics (max,
+    std) are computed PER IMAGE — the reference only ever sees batch 1
+    (test.py:190), so its global max/std are per-image by construction; for
+    B > 1 a batch-global max would leak one image's anomaly into another's
+    threshold.
+    """
+    amap = np.asarray(anomaly_map, np.float32)
+    masks, binaries = zip(*(_soft_mask_single(a, ladder) for a in amap))
+    return np.stack(masks), np.stack(binaries)
+
+
+def fit_ladder(
+    normal_maps,
+    pixel_q: float = 0.999,
+    gate_margin: float = 0.0,
+    rel_above: float = 1.1,
+    rel_rung: str = "max-1std",
+    clip_lo: str = "thr-std",
+) -> ThresholdLadder:
+    """Self-calibrate a threshold ladder from NORMAL-set anomaly maps.
+
+    The reference's ladders are hand-tuned constants valid only for its
+    ImageNet-pretrained WideResNet50-2 (test.py:251-375).  This fits the
+    same two-level mechanism from data — the anomalib adaptive-threshold
+    idea — so Stage A produces usable masks with *any* backbone:
+
+      gate      = max over per-image map maxima of the normal set, scaled by
+                  (1 + gate_margin): an image whose map max exceeds anything
+                  normal data produced is declared anomalous
+                  (reference gate, e.g. test.py:253).
+      rung 1    = for maps far above the gate (amax > gate·rel_above) a
+                  RELATIVE threshold `rel_rung` (default max−1·std): a
+                  strong anomaly shifts the whole image's score distribution
+                  upward, so an absolute cut saturates — this mirrors the
+                  reference's own relative rungs for high maxima
+                  (test.py:293 'max-12', test.py:336 'max-2std').
+      rung 2    = otherwise an ABSOLUTE threshold at the `pixel_q` quantile
+                  of all normal pixel scores: pixels scoring above (almost)
+                  every normal patch are the OOD region (like e.g.
+                  test.py:263).
+
+    `normal_maps`: iterable of [H,W,1] or [B,H,W,1] anomaly maps computed on
+    anomaly-free data with the same detector + memory bank.
+
+    Validated (tests/test_ood.py::test_fit_ladder_localizes_synthetic_*):
+    with a random-init backbone and layers=('layer1','layer2') this fits
+    ladders whose masks reach IoU ≥ 0.3 against ground truth on both
+    synthetic lesions and texture defects.
+    """
+    maxima, pix = [], []
+    for m in normal_maps:
+        m = np.asarray(m, np.float32)
+        if m.ndim == 4:
+            maxima.extend(float(x.max()) for x in m)
+        else:
+            maxima.append(float(m.max()))
+        pix.append(m.ravel())
+    gate = float(np.max(maxima)) * (1.0 + gate_margin)
+    thr = float(np.quantile(np.concatenate(pix), pixel_q))
+    return ThresholdLadder(
+        gate=gate,
+        rungs=(
+            LadderRung(gate * rel_above, rel_rung),
+            LadderRung(-np.inf, thr),
+        ),
+        clip_lo=clip_lo,
+    )
+
+
+def save_ladder(ladder: ThresholdLadder, path: str) -> None:
+    """JSON round-trip so a fitted ladder ships next to its memory bank."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "gate": ladder.gate,
+                "clip_lo": ladder.clip_lo,
+                "rungs": [
+                    {"above": None if np.isneginf(r.above) else r.above,
+                     "threshold": r.threshold}
+                    for r in ladder.rungs
+                ],
+            },
+            f,
+        )
+
+
+def load_ladder(path: str) -> ThresholdLadder:
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    rungs = tuple(
+        LadderRung(
+            -np.inf if r["above"] is None else float(r["above"]), r["threshold"]
+        )
+        for r in d["rungs"]
+    )
+    return ThresholdLadder(gate=float(d["gate"]), rungs=rungs,
+                           clip_lo=d.get("clip_lo", "thr-std"))
 
 
 def manual_mask(shape, cols: int = 7) -> np.ndarray:
@@ -151,9 +262,23 @@ def mnist_half_mask(shape) -> np.ndarray:
     return 1.0 - m
 
 
-def ladder_for(data_name: str, variant: str) -> ThresholdLadder:
+# fallback for dataset/category combinations without a hand-tuned ladder
+# (e.g. MVTec categories beyond the reference's transistor/toothbrush/grid):
+# a mid-range gate with relative rungs that track the map statistics.
+DEFAULT_LADDER = ThresholdLadder(
+    gate=30.0,
+    rungs=(LadderRung(-np.inf, "max-1std"),),
+    clip_lo="min",
+)
+
+
+def ladder_for(
+    data_name: str, variant: str, default_ok: bool = True
+) -> ThresholdLadder:
     key = (data_name, variant)
     if key not in LADDERS:
+        if default_ok:
+            return DEFAULT_LADDER
         raise KeyError(
             f"no threshold ladder for {key}; available: {sorted(LADDERS)}"
         )

@@ -61,6 +61,7 @@ class LocalDiffusionPipeline:
                 return S.ddpm_sample_branched(
                     gd, params, cond, mask, key, scfg, mmv,
                     gt=gt if use_gt else None, classifier_fn=gate,
+                    return_fusion_time=gate is not None,
                 )
         return jax.jit(fn)
 
@@ -112,10 +113,17 @@ class LocalDiffusionPipeline:
             else None
         )
         t0 = time.perf_counter()
+        fusion_time = None
         if branch:
             if self._branched_fn is None:
                 self._branched_fn = self._compile_branched()
             out = self._branched_fn(self.params, lr_j, jnp.asarray(mask), key, gt_j)
+            if (
+                self.classifier_gate is not None
+                and scfg.classifier
+                and not self.gd.is_ddim_sampling
+            ):
+                out, fusion_time = out
         else:
             if self._plain_fn is None:
                 self._plain_fn = self._compile_plain()
@@ -129,6 +137,10 @@ class LocalDiffusionPipeline:
             "time": np.asarray(dt),
             "branched": np.asarray(branch),
         }
+        if fusion_time is not None:
+            # per-sample classifier-acceptance timestep (the reference's
+            # fusion_time.npy diagnostic, ddpm.py:902-903)
+            result["fusion_time"] = np.asarray(fusion_time)
         if amap is not None:
             result["anomaly_map"] = amap
         if hr is not None:
@@ -150,6 +162,7 @@ class LocalDiffusionPipeline:
         """
         key = key if key is not None else jax.random.PRNGKey(0)
         hrs, lrs, preds, masks, losses, times = [], [], [], [], [], []
+        fusion_times = []
         for i, (hr, lr) in enumerate(pairs):
             key, sub = jax.random.split(key)
             r = self.translate(lr, hr=hr, key=sub)
@@ -159,6 +172,14 @@ class LocalDiffusionPipeline:
             masks.append(r["mask"])
             losses.append(float(r["mse"]))
             times.append(float(r["time"]))
+            # default = num_timesteps, like the reference's classifier_t
+            # init (ddpm.py:1083)
+            fusion_times.append(
+                r.get(
+                    "fusion_time",
+                    np.full((lr.shape[0],), self.gd.num_timesteps, np.int32),
+                )
+            )
             if verbose:
                 print(
                     f"[{i}] mse={losses[-1]:.5f} ssim={float(r['ssim']):.4f} "
@@ -169,11 +190,12 @@ class LocalDiffusionPipeline:
             "lr_all": np.concatenate(lrs),
             "pred_all": np.concatenate(preds),
             "ad_masks": np.concatenate(masks),
+            "fusion_time": np.concatenate(fusion_times),
             "mean_mse": np.asarray(np.mean(losses)),
             "mean_time": np.asarray(np.mean(times[1:]) if len(times) > 1 else times[0]),
         }
         if save_prefix is not None:
-            for name in ("hr_all", "lr_all", "pred_all", "ad_masks"):
+            for name in ("hr_all", "lr_all", "pred_all", "ad_masks", "fusion_time"):
                 np.save(f"{save_prefix}{name}.npy", out[name])
         if verbose:
             print(f"Test loss: {float(out['mean_mse']):.4f}")

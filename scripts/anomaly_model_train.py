@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--ratio", type=float, default=0.1)
     ap.add_argument("--max-images", type=int, default=200)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--pixel-q", type=float, default=0.999,
+                    help="normal-pixel quantile for the fitted ladder threshold")
+    ap.add_argument("--no-ladder", action="store_true",
+                    help="skip self-calibrating the threshold ladder")
     args = ap.parse_args()
 
     from scripts.train import load_config
@@ -35,7 +39,6 @@ def main():
     cfg = load_config(args.config)
 
     from localdiffusion_tpu.data import MNISTDataset, load_mnist_arrays, synthetic_digits
-    from localdiffusion_tpu.ood.classifier import preprocess_for_patchcore
     from localdiffusion_tpu.ood.patchcore import PatchCore
 
     if cfg.data.name == "mnist":
@@ -88,15 +91,41 @@ def main():
     else:
         raise NotImplementedError(f"unknown dataset {cfg.data.name}")
 
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from localdiffusion_tpu.ood.frontend import OODFrontend
+    from localdiffusion_tpu.ood.thresholds import fit_ladder, save_ladder
+
     pc = PatchCore(cfg.ood, rng=jax.random.PRNGKey(0))
+    # the bank MUST share preprocessing with the inference frontend — use
+    # the frontend's path (per-dataset denorm etc., reference
+    # test.py:199-242 / anomaly_model_train.py:358-365)
+    fe = OODFrontend(
+        cfg.replace(ood=dataclasses.replace(cfg.ood, detector="patchcore")),
+        patchcore=pc,
+    )
     batches = []
     for i in range(0, len(lr), args.batch):
-        x = preprocess_for_patchcore(lr[i : i + args.batch], cfg.ood.input_size)
+        x = fe._preprocess_patchcore(jnp.asarray(lr[i : i + args.batch]))
         batches.append(np.asarray(x))
     bank = pc.build_memory_bank(batches, sampling_ratio=args.ratio)
     out = args.out or f"memory_bank_{cfg.data.name}.npy"
     np.save(out, bank)
     print(f"saved {out}: {bank.shape}")
+
+    if not args.no_ladder:
+        # self-calibrate the threshold ladder from the normal stream's own
+        # anomaly maps (held-out style: scores of the very set the bank was
+        # coreset-sampled from — nonzero because the coreset keeps 10%)
+        maps = [np.asarray(pc(jnp.asarray(x))["anomaly_map"], np.float32)
+                for x in batches]
+        ladder = fit_ladder(maps, pixel_q=args.pixel_q)
+        ladder_out = os.path.splitext(out)[0] + "_ladder.json"
+        save_ladder(ladder, ladder_out)
+        print(f"saved fitted ladder {ladder_out}: gate={ladder.gate:.4f} "
+              f"rungs={[(r.above, r.threshold) for r in ladder.rungs]}")
 
 
 if __name__ == "__main__":

@@ -173,16 +173,24 @@ def main():
             if cfg.ood.memory_bank_path and os.path.exists(cfg.ood.memory_bank_path):
                 mb = np.load(cfg.ood.memory_bank_path)
                 print(f"loaded memory bank {mb.shape}")
-            pc = PatchCore(cfg.ood, memory_bank=mb)
-            if mb is None:
-                print("no memory bank — building from the conditioning stream")
-                from localdiffusion_tpu.ood.classifier import preprocess_for_patchcore
+                # auto-discover the self-calibrated ladder saved next to the
+                # bank by scripts/anomaly_model_train.py
+                if not cfg.ood.ladder_path:
+                    lad = os.path.splitext(cfg.ood.memory_bank_path)[0] + "_ladder.json"
+                    if os.path.exists(lad):
+                        import dataclasses as _dc
 
-                prep = preprocess_for_patchcore(
-                    np.asarray(lr[:16]), cfg.ood.input_size
-                )
-                pc.build_memory_bank([np.asarray(prep)])
+                        cfg = cfg.replace(ood=_dc.replace(cfg.ood, ladder_path=lad))
+                        print(f"using fitted threshold ladder {lad}")
+            pc = PatchCore(cfg.ood, memory_bank=mb)
         frontend = OODFrontend(cfg, patchcore=pc)
+        if pc is not None and pc.memory_bank is None:
+            # no memory bank — build one from the conditioning stream with
+            # the frontend's own preprocessing (bank and inference-time maps
+            # must share it)
+            print("no memory bank — building from the conditioning stream")
+            prep = frontend._preprocess_patchcore(np.asarray(lr[:16]))
+            pc.build_memory_bank([np.asarray(prep)])
 
     # optional classifier-gated re-branching (reference ddpm.py:622-625,
     # 883-916): reuses the PatchCore detector as the accept/reject oracle
@@ -194,11 +202,23 @@ def main():
             frontend is not None and getattr(frontend, "patchcore", None) is not None
         ) else None
         if cls_pc is None:
-            # classifier oracle independent of the mask detector (the
-            # reference loads its own patchcore+bank, models.py:272-290)
+            # classifier oracle independent of the mask detector: the
+            # reference loads its own patchcore+bank selected by
+            # classifier_obj (models.py:278-287, e.g.
+            # memory_bank_mvtec_{obj}.npy) — look for an obj-specific bank
+            # next to the detector bank first, then fall back to it
             mb = None
-            if cfg.ood.memory_bank_path and os.path.exists(cfg.ood.memory_bank_path):
-                mb = np.load(cfg.ood.memory_bank_path)
+            if cfg.ood.memory_bank_path:
+                base = cfg.ood.memory_bank_path
+                obj_path = os.path.join(
+                    os.path.dirname(base),
+                    f"memory_bank_{cfg.data.name}_{cfg.sampler.classifier_obj}.npy",
+                )
+                for cand in (obj_path, base):
+                    if os.path.exists(cand):
+                        mb = np.load(cand)
+                        print(f"classifier memory bank: {cand} {mb.shape}")
+                        break
             cls_pc = PatchCore(cfg.ood, memory_bank=mb)
             if mb is None:
                 from localdiffusion_tpu.ood.classifier import preprocess_for_patchcore
@@ -237,6 +257,10 @@ def main():
         return
     pairs = [(hr[i : i + 1], lr[i : i + 1]) for i in range(len(hr))]
     out = pipe.run(pairs, key=jax.random.PRNGKey(10), save_prefix=args.save_prefix)
+    if cfg.sampler.classifier:
+        # the reference's fusion_time.npy diagnostic (ddpm.py:902-903)
+        np.save("fusion_time.npy", out["fusion_time"])
+        print(f"fusion_time (acceptance t per image): {out['fusion_time'].tolist()}")
     print(f"Test loss: {float(out['mean_mse']):.4f}")
 
 

@@ -203,7 +203,18 @@ def main():
     best = float("inf")
     rng = jax.random.PRNGKey(cfg.train.seed)
     t0 = time.time()
-    losses = []
+
+    # append-only loss CSV (reference rewrites train_loss.csv per run,
+    # ddpm.py:1563-1565, losing history on restart; CsvLogger appends so an
+    # auto-resume keeps the prior curve)
+    from localdiffusion_tpu.utils.logging import CsvLogger, Timer
+
+    os.makedirs(trainer.results_dir, exist_ok=True)
+    csv_path = os.path.join(trainer.results_dir, "train_loss.csv")
+    if start_step == 0 and os.path.exists(csv_path):
+        os.replace(csv_path, csv_path + ".prev")  # fresh run: rotate old log
+    logger = CsvLogger(csv_path, ["step", "loss", "time_s"])
+    timer = Timer()
 
     if args.step_mode == "resident":
         import jax.numpy as jnp
@@ -216,25 +227,29 @@ def main():
         # per-step key via fold_in: O(1) resume realignment (a split-chain
         # would replay start_step device calls)
         sub = jax.random.fold_in(rng, step)
-        if args.step_mode == "resident":
-            state, loss = epoch_fn(state, data_hr, data_lr, sub)
-            loss = float(loss)
-        elif args.step_mode == "epoch":
-            state, loss = trainer.train_epoch_step(state, dl.epoch_batches(step), sub)
-        else:
-            hr_b, lr_b = next(iter(dl.epoch_batches(step)))
-            state, loss = trainer.train_batch_step(state, hr_b, lr_b, sub)
-        losses.append((step, loss))
+        with timer.time("train_step"):
+            if args.step_mode == "resident":
+                state, loss = epoch_fn(state, data_hr, data_lr, sub)
+                loss = float(loss)
+            elif args.step_mode == "epoch":
+                state, loss = trainer.train_epoch_step(
+                    state, dl.epoch_batches(step), sub
+                )
+            else:
+                hr_b, lr_b = next(iter(dl.epoch_batches(step)))
+                state, loss = trainer.train_batch_step(state, hr_b, lr_b, sub)
+        logger.log(step=step, loss=loss, time_s=f"{time.time() - t0:.2f}")
         if step % 10 == 0 or step == steps - 1:
             print(f"step {step}: loss {loss:.5f} ({time.time() - t0:.1f}s)")
         if (step + 1) % save_every == 0 or step == steps - 1:
             from localdiffusion_tpu.config import min_max_val_for
 
             ek = jax.random.PRNGKey(0)
-            m = trainer.eval_sample_mse(
-                state, hr_te[:8], lr_te[:8], ek,
-                min_max_val=min_max_val_for(cfg),
-            )
+            with timer.time("eval_sample"):
+                m = trainer.eval_sample_mse(
+                    state, hr_te[:8], lr_te[:8], ek,
+                    min_max_val=min_max_val_for(cfg),
+                )
             print(f"  eval sample MSE: {m:.5f}")
             if m < best:
                 best = m
@@ -242,15 +257,12 @@ def main():
 
                 trainer.save(state, "best" + round_milestone(step + 1))
                 print(f"  saved best{round_milestone(step + 1)}")
-            trainer.save(state, "latest")  # preemption-recovery point
+            with timer.time("checkpoint"):
+                trainer.save(state, "latest")  # preemption-recovery point
     trainer.save(state, "latest")
-    # loss CSV like the reference (ddpm.py:1563-1565)
-    import pandas as pd
-
-    os.makedirs(trainer.results_dir, exist_ok=True)
-    pd.DataFrame(losses, columns=["step", "loss"]).to_csv(
-        os.path.join(trainer.results_dir, "train_loss.csv"), index=False
-    )
+    logger.close()
+    phase_means = {k: f"{v * 1e3:.1f}ms" for k, v in timer.summary().items()}
+    print(f"phase means: {phase_means}")
     print("done")
 
 

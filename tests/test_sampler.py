@@ -197,8 +197,8 @@ def test_classifier_gate_accept_vs_reject():
     mask = _left_mask()
     scfg = SamplerConfig(start_timestep=4, classifier=True)
 
-    always_accept = lambda xs: jnp.ones((xs.shape[0],))
-    always_reject = lambda xs: -jnp.ones((xs.shape[0],))
+    always_accept = lambda xs, t: jnp.ones((xs.shape[0],))
+    always_reject = lambda xs, t: -jnp.ones((xs.shape[0],))
 
     out_a = S.ddpm_sample_branched(
         gd, {}, cond, mask, KEY, scfg, MMV, classifier_fn=always_accept
@@ -210,6 +210,113 @@ def test_classifier_gate_accept_vs_reject():
     assert bool(jnp.all(jnp.isfinite(out_a))) and bool(jnp.all(jnp.isfinite(out_r)))
     # with the echo oracle both converge to cond regardless of gating
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(cond), rtol=1e-4, atol=1e-5)
+
+
+def test_classifier_gate_per_sample_and_fusion_time():
+    """B=2 where the gate accepts sample 0 immediately and sample 1 never:
+    acceptance is per-sample (reference decision is per-image, batch-1 loop)
+    and fusion_time records the first-acceptance t."""
+    gd = oracle_gd()
+    cond = jnp.asarray(
+        np.random.default_rng(7).uniform(0.2, 1.8, (2, 8, 8, 1)).astype(np.float32)
+    )
+    mask = _left_mask(b=2)
+    s = 4
+    scfg = SamplerConfig(start_timestep=s, classifier=True)
+
+    def split_gate(xs, t):
+        return jnp.asarray([1.0, -1.0])  # sample 0 accepts, sample 1 rejects
+
+    out, ft = S.ddpm_sample_branched(
+        gd, {}, cond, mask, KEY, scfg, MMV, classifier_fn=split_gate,
+        return_fusion_time=True,
+    )
+    assert out.shape == (2, 8, 8, 1)
+    ft = np.asarray(ft)
+    # sample 0 accepted at the first gated step (t = s-1); sample 1 only at
+    # the forced t == 0 acceptance
+    assert ft[0] == s - 1
+    assert ft[1] == 0
+    # both still converge to cond under the echo oracle
+    np.testing.assert_allclose(np.asarray(out), np.asarray(cond), rtol=1e-4, atol=1e-5)
+
+
+def test_classifier_gate_retry_budget():
+    """max_classifier_retries bounds per-sample rejections: with budget 2,
+    an always-rejecting gate is force-accepted after 2 rejected steps."""
+    gd = oracle_gd()
+    cond = jnp.asarray(
+        np.random.default_rng(8).uniform(0.2, 1.8, (1, 8, 8, 1)).astype(np.float32)
+    )
+    mask = _left_mask()
+    s = 6
+    always_reject = lambda xs, t: -jnp.ones((xs.shape[0],))
+    scfg = SamplerConfig(start_timestep=s, classifier=True,
+                         max_classifier_retries=2)
+    _, ft = S.ddpm_sample_branched(
+        gd, {}, cond, mask, KEY, scfg, MMV, classifier_fn=always_reject,
+        return_fusion_time=True,
+    )
+    # steps t = s-1, s-2 rejected; budget hit at t = s-3
+    assert int(np.asarray(ft)[0]) == s - 3
+    # budget 0 = unbounded (reference): only the t == 0 forced accept fires
+    scfg0 = SamplerConfig(start_timestep=s, classifier=True,
+                          max_classifier_retries=0)
+    _, ft0 = S.ddpm_sample_branched(
+        gd, {}, cond, mask, KEY, scfg0, MMV, classifier_fn=always_reject,
+        return_fusion_time=True,
+    )
+    assert int(np.asarray(ft0)[0]) == 0
+
+
+def test_reconcile_forces_mask_x_for_detector_runs():
+    """ood_AD/ood_confidence force mask_cond/mask_x on (reference
+    ddpm.py:1106-1108); a manual run keeps its flags."""
+    scfg = SamplerConfig(ood_ad=True, mask_x=False, mask_cond=False)
+    r = S.reconcile(scfg)
+    assert r.mask_x and r.mask_cond
+    scfg2 = SamplerConfig(ood_ad=False, ood_confidence=True, mask_x=False)
+    r2 = S.reconcile(scfg2)
+    assert r2.mask_x and r2.mask_cond
+    scfg3 = SamplerConfig(ood_ad=False, ood_confidence=False, mask_x=False)
+    assert S.reconcile(scfg3) is scfg3
+
+
+def test_reconcile_fixes_unmasked_fusion_corruption():
+    """With ood_ad=True but mask_x=False in the YAML, fusion must still see a
+    mask_x-masked OOD branch — x_start = xs_in·(1−m) + xs_out would otherwise
+    add the full-image OOD estimate (the reference silently overrides the
+    flag, ddpm.py:1106-1108)."""
+    gd = oracle_gd()
+    cond = jnp.asarray(
+        np.random.default_rng(9).uniform(0.2, 1.8, (1, 8, 8, 1)).astype(np.float32)
+    )
+    mask = _left_mask()
+    scfg = SamplerConfig(start_timestep=2, mask_x=False, ood_ad=True)
+    out = S.ddpm_sample_branched(gd, {}, cond, mask, KEY, scfg, MMV)
+    # the echo oracle reconstructs cond exactly only when the OOD branch was
+    # masked before fusion
+    np.testing.assert_allclose(np.asarray(out), np.asarray(cond), rtol=1e-4, atol=1e-5)
+
+
+def test_ddim_branched_terminal_pair_returns_branch_pair():
+    """When fusion lands on the terminal DDIM pair (t_next < 0), the
+    reference returns the UNFUSED branch pair (ddpm.py:1007-1011 checks
+    time_next before the fusion predicate)."""
+    gd = oracle_gd(timesteps=20, sampling_timesteps=5)
+    cond = jnp.ones((1, 8, 8, 1))
+    mask = _left_mask()
+    # start_timestep=0 → fuse_time = times[-2] = t of the terminal pair
+    # (t_next = -1): return the unfused pair
+    scfg = SamplerConfig(start_timestep=0)
+    out = S.ddim_sample_branched(gd, {}, cond, mask, KEY, scfg, MMV)
+    assert out.shape == (2, 1, 8, 8, 1)
+    # start_timestep=-1 → fuse_time = -1 sits below every pair: the fusion
+    # predicate never fires and the chain stays branched (also returns the
+    # pair via the branched terminal step)
+    scfg_m1 = SamplerConfig(start_timestep=-1)
+    out2 = S.ddim_sample_branched(gd, {}, cond, mask, KEY, scfg_m1, MMV)
+    assert out2.shape == (2, 1, 8, 8, 1)
 
 
 def test_interpolate():
@@ -245,7 +352,9 @@ def test_branched_debug_capture():
     out, dbg = S.ddpm_sample_branched(
         gd, {}, cond, mask, KEY, scfg, MMV, return_debug=True
     )
-    assert set(dbg) == {"pred_out", "pred_in", "pred_concat", "x_out", "x_in"}
+    assert set(dbg) == {
+        "pred_out", "pred_in", "pred_concat", "x_out", "x_in", "fusion_time"
+    }
     # x_out is zero outside the mask; x_in zero inside (reference assert,
     # ddpm.py:790)
     mnp = np.asarray(mask).astype(bool)
