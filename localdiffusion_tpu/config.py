@@ -49,6 +49,16 @@ class ModelConfig:
     cond_encoder_depth: str = "auto"
     cond_group_num: int = 16
     time_emb_theta: int = 10000
+    # self-conditioning: feed the previous x₀ estimate as extra input
+    # channels (reference denoiser signature ddpm.py:404-408; off in every
+    # shipped reference config)
+    self_condition: bool = False
+    # random/learned Fourier time features instead of the fixed sinusoidal
+    # embedding (reference RandomOrLearnedSinusoidalPosEmb, ddpm.py:151-166,
+    # wired at ddpm.py:331-343; off in every shipped reference config)
+    learned_sinusoidal_cond: bool = False
+    random_fourier_features: bool = False
+    learned_sinusoidal_dim: int = 16
 
     def __post_init__(self):
         if len(self.full_attn) != len(self.dim_mults):

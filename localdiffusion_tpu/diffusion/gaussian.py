@@ -73,8 +73,10 @@ class GaussianDiffusion:
     # ------------------------------------------------------------------
     # model application
     # ------------------------------------------------------------------
-    def apply_model(self, params, x, cond, t, cond_feat=None):
-        return self.model.apply(params, x, cond, t, cond_feat=cond_feat)
+    def apply_model(self, params, x, cond, t, cond_feat=None, x_self_cond=None):
+        return self.model.apply(
+            params, x, cond, t, cond_feat=cond_feat, x_self_cond=x_self_cond
+        )
 
     def encode_cond(self, params, cond):
         return encode_cond(params, self.model_cfg, cond, dtype=self.model.dtype)
@@ -90,12 +92,15 @@ class GaussianDiffusion:
         t: jnp.ndarray,
         noise: jnp.ndarray,
         offset_noise: Optional[jnp.ndarray] = None,
+        self_cond_key: Optional[jax.Array] = None,
     ) -> jnp.ndarray:
         """Noise-injection training loss (reference ddpm.py:1156-1201).
 
         offset_noise: optional [B, C] per-channel shift added at
         `offset_noise_strength` (the crosslabs offset-noise trick,
         ddpm.py:1165-1167).
+        self_cond_key: PRNG key for the 50% self-conditioning pre-pass
+        (only used when model_cfg.self_condition).
         """
         sched = self.schedule
         if offset_noise is not None and self.diff_cfg.offset_noise_strength > 0.0:
@@ -104,7 +109,22 @@ class GaussianDiffusion:
             ]
 
         x = dm.q_sample(sched, x_start, t, noise)
-        model_out = self.apply_model(params, x, cond, t)
+
+        x_self_cond = None
+        if self.model_cfg.self_condition and self_cond_key is not None:
+            # 50%-of-steps self-conditioning pre-pass (reference
+            # ddpm.py:1176-1182): predict x₀ without gradient, feed it back.
+            # lax.cond keeps the branch data-dependent-free for jit; the
+            # whole-batch coin flip mirrors the reference's single random().
+            pre = jax.lax.stop_gradient(
+                dm.model_output_to_x_start(
+                    sched, self.apply_model(params, x, cond, t), x, t
+                )
+            )
+            use = jax.random.bernoulli(self_cond_key)
+            x_self_cond = jnp.where(use, pre, jnp.zeros_like(pre))
+
+        model_out = self.apply_model(params, x, cond, t, x_self_cond=x_self_cond)
 
         if self.objective == "pred_noise":
             target = noise
@@ -122,6 +142,11 @@ class GaussianDiffusion:
     def loss(self, params, rng, x_start, cond) -> jnp.ndarray:
         """Sample t ~ U[0,T) and noise, then p_losses (reference ddpm.py:1203-1214)."""
         b = x_start.shape[0]
+        sc_key = None
+        if self.model_cfg.self_condition:
+            # extra split only in self-cond mode — keeps the t/noise streams
+            # of default configs bit-identical to prior checkpoints
+            rng, sc_key = jax.random.split(rng)
         t_key, n_key, o_key = jax.random.split(rng, 3)
         t = jax.random.randint(t_key, (b,), 0, self.num_timesteps)
         noise = jax.random.normal(n_key, x_start.shape, dtype=x_start.dtype)
@@ -132,7 +157,9 @@ class GaussianDiffusion:
             )
         if self.diff_cfg.auto_normalize:
             x_start = dm.normalize_to_neg_one_to_one(x_start)
-        return self.p_losses(params, x_start, cond, t, noise, offset_noise)
+        return self.p_losses(
+            params, x_start, cond, t, noise, offset_noise, self_cond_key=sc_key
+        )
 
     # ------------------------------------------------------------------
     # prediction conversion (reference ddpm.py:668-766, non-branched path)

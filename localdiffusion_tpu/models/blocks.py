@@ -61,17 +61,53 @@ class SinusoidalPosEmb(nn.Module):
         return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
 
 
+class RandomOrLearnedSinusoidalPosEmb(nn.Module):
+    """Random (frozen) or learned Fourier time features
+    (reference ddpm.py:151-166, after @crowsonkb): freqs = t·w·2π, output
+    [t, sin(freqs), cos(freqs)] of width dim+1."""
+
+    dim: int
+    is_random: bool = False
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        assert self.dim % 2 == 0
+        w = self.param(
+            "weights", nn.initializers.normal(1.0), (self.dim // 2,), jnp.float32
+        )
+        if self.is_random:
+            # random_fourier_features: weights are a frozen random projection
+            # (requires_grad=False in the reference)
+            import jax
+
+            w = jax.lax.stop_gradient(w)
+        tb = t.astype(jnp.float32)[:, None]
+        freqs = tb * w[None, :] * (2.0 * math.pi)
+        return jnp.concatenate([tb, jnp.sin(freqs), jnp.cos(freqs)], axis=-1)
+
+
 class TimeMlp(nn.Module):
-    """SinusoidalPosEmb → Linear → GELU → Linear (reference ddpm.py:339-344)."""
+    """(sinusoidal | random/learned Fourier) → Linear → GELU → Linear
+    (reference ddpm.py:331-346)."""
 
     dim: int
     time_dim: int
     theta: int = 10000
     dtype: Dtype = jnp.float32
+    learned_sinusoidal_cond: bool = False
+    random_fourier_features: bool = False
+    learned_sinusoidal_dim: int = 16
 
     @nn.compact
     def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
-        x = SinusoidalPosEmb(self.dim, self.theta)(t)
+        if self.learned_sinusoidal_cond or self.random_fourier_features:
+            x = RandomOrLearnedSinusoidalPosEmb(
+                self.learned_sinusoidal_dim,
+                is_random=self.random_fourier_features,
+                name="pos_emb",
+            )(t)  # width learned_sinusoidal_dim + 1 (ddpm.py:338-339)
+        else:
+            x = SinusoidalPosEmb(self.dim, self.theta)(t)
         x = nn.Dense(self.time_dim, dtype=self.dtype, name="fc1")(x)
         # torch nn.GELU default is the exact (erf) formulation
         x = nn.gelu(x, approximate=False)

@@ -53,6 +53,7 @@ class UNet(nn.Module):
         cond: Optional[jnp.ndarray],
         time: jnp.ndarray,
         cond_feat: Optional[jnp.ndarray] = None,
+        x_self_cond: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         cfg = self.cfg
         dim = cfg.dim
@@ -69,12 +70,22 @@ class UNet(nn.Module):
         )
 
         x = x.astype(self.dtype)
+        if cfg.self_condition:
+            # previous x₀ estimate as extra input channels (reference
+            # ddpm.py:406-408; zeros when absent)
+            if x_self_cond is None:
+                x_self_cond = jnp.zeros_like(x)
+            x = jnp.concatenate([x_self_cond.astype(self.dtype), x], axis=-1)
         x = nn.Conv(init_dim, (7, 7), padding=3, dtype=self.dtype, name="init_conv")(x)
         r = x
 
-        t = TimeMlp(dim, time_dim, cfg.time_emb_theta, self.dtype, name="time_mlp")(
-            time
-        )
+        t = TimeMlp(
+            dim, time_dim, cfg.time_emb_theta, self.dtype,
+            learned_sinusoidal_cond=cfg.learned_sinusoidal_cond,
+            random_fourier_features=cfg.random_fourier_features,
+            learned_sinusoidal_dim=cfg.learned_sinusoidal_dim,
+            name="time_mlp",
+        )(time)
 
         def attn_layer(full: bool, name: str):
             if full:

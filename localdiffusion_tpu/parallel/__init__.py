@@ -9,6 +9,7 @@ from localdiffusion_tpu.parallel.patch import (  # noqa: F401
     PatchGrid,
     extract_patches,
     patch_parallel_sample,
+    patch_parallel_sample_bucketed,
     plan_patches,
     stitch_patches,
 )

@@ -171,3 +171,106 @@ def patch_parallel_sample(
             fn = jax.jit(run, in_shardings=(rep, rep, rep, None))
             return fn(params, jnp.asarray(cond), jnp.asarray(mask), key)
     return jax.jit(run)(params, jnp.asarray(cond), jnp.asarray(mask), key)
+
+
+def _extract_patches_np(img: np.ndarray, grid: PatchGrid) -> np.ndarray:
+    """Host-side patch extraction, same [B·P] ordering as extract_patches."""
+    p = grid.patch
+    parts = [img[:, y : y + p, x : x + p, :] for (y, x) in grid.origins]
+    return np.stack(parts, axis=1).reshape(-1, p, p, img.shape[-1])
+
+
+def patch_parallel_sample_bucketed(
+    gd,
+    params,
+    cond: np.ndarray,
+    mask: np.ndarray,
+    key,
+    scfg,
+    min_max_val,
+    patch: int,
+    overlap: int = 0,
+    _cache: dict = None,
+):
+    """Sparse-mask bucketing: OOD-free patches skip the branched program.
+
+    Generalizes the reference's whole-image uniform-mask bypass
+    (ddpm.py:1110-1117) to per-patch granularity: a patch whose mask tile
+    contains no OOD pixel (binary mask ≥ 1.0 nowhere) runs the PLAIN chain —
+    one UNet call per step instead of the branched pair's two — so a 256px
+    image with a small OOD region costs roughly half the branched compute.
+
+    Bucketing is data-dependent, so it happens HOST-side before launch
+    (mask must be a host array) and costs one extra compile per distinct
+    (n_plain, n_branched) bucket-size pair; pass `_cache` (a dict) to reuse
+    compiled buckets across calls.
+
+    Semantics: an OOD-free patch's branched chain degenerates to its IND
+    branch — cond_in = cond·clip(1−0, floor, 1) = cond, and fusion selects
+    the IND state everywhere — i.e. exactly the plain chain (modulo the
+    noise-draw layout).  Verified against the unbucketed program by oracle
+    test (tests/test_patch_parallel.py).
+    """
+    from localdiffusion_tpu.diffusion import sampler as S
+
+    b, h, w, c = cond.shape
+    grid = plan_patches(h, w, patch, overlap)
+    cond_np = np.asarray(cond, np.float32)
+    mask_np = np.asarray(mask, np.float32)
+    cond_flat = _extract_patches_np(cond_np, grid)
+    mask_flat = _extract_patches_np(mask_np, grid)
+
+    n = cond_flat.shape[0]
+    has_ood = (mask_flat >= 1.0).reshape(n, -1).any(axis=1)
+    ood_idx = np.nonzero(has_ood)[0]
+    plain_idx = np.nonzero(~has_ood)[0]
+
+    import copy
+
+    gd_patch = copy.copy(gd)
+    gd_patch.image_size = patch
+    cache = _cache if _cache is not None else {}
+
+    def get_fn(kind, count):
+        k = (kind, count)
+        if k not in cache:
+            if kind == "plain":
+                if gd_patch.is_ddim_sampling:
+                    f = lambda p_, c_, k_: S.ddim_sample_plain(
+                        gd_patch, p_, c_, k_, min_max_val
+                    )
+                else:
+                    f = lambda p_, c_, k_: S.ddpm_sample_plain(
+                        gd_patch, p_, c_, k_, min_max_val
+                    )
+            else:
+                if gd_patch.is_ddim_sampling:
+                    f = lambda p_, c_, m_, k_: S.ddim_sample_branched(
+                        gd_patch, p_, c_, m_, k_, scfg, min_max_val
+                    )
+                else:
+                    f = lambda p_, c_, m_, k_: S.ddpm_sample_branched(
+                        gd_patch, p_, c_, m_, k_, scfg, min_max_val
+                    )
+            cache[k] = jax.jit(f)
+        return cache[k]
+
+    key_plain, key_ood = jax.random.split(key)
+    out_flat = np.empty_like(cond_flat)
+    if len(plain_idx):
+        out_p = get_fn("plain", len(plain_idx))(
+            params, jnp.asarray(cond_flat[plain_idx]), key_plain
+        )
+        out_flat[plain_idx] = np.asarray(out_p, np.float32)
+    if len(ood_idx):
+        out_o = get_fn("branched", len(ood_idx))(
+            params,
+            jnp.asarray(cond_flat[ood_idx]),
+            jnp.asarray(mask_flat[ood_idx]),
+            key_ood,
+        )
+        out_flat[ood_idx] = np.asarray(out_o, np.float32)
+
+    return np.asarray(
+        stitch_patches(jnp.asarray(out_flat), grid, b, overlap)
+    )

@@ -140,7 +140,11 @@ def main():
         raise NotImplementedError(f"unknown dataset {cfg.data.name}")
 
     frontend = None
-    if cfg.ood.detector == "seg":
+    if cfg.ood.detector == "none":
+        # explicit plain-chain run: uniform-ones masks → branching bypass
+        # (reference ddpm.py:1110-1117), regardless of gt seg availability
+        frontend = OODFrontend(cfg)
+    elif cfg.ood.detector == "seg":
         import orbax.checkpoint as ocp
 
         from localdiffusion_tpu.models import SegUNet

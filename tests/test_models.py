@@ -216,3 +216,76 @@ def test_simple_cnn():
     x = jnp.ones((3, 28, 28, 1))
     out = m.apply(m.init(KEY, x), x)
     assert out.shape == (3, 10)
+
+
+def test_random_or_learned_sinusoidal_pos_emb_matches_torch():
+    """Oracle: reference ddpm.py:151-166 — freqs = t·w·2π, output
+    [t, sin, cos] of width dim+1."""
+    import math
+
+    import torch
+
+    from localdiffusion_tpu.models.blocks import RandomOrLearnedSinusoidalPosEmb
+
+    m = RandomOrLearnedSinusoidalPosEmb(dim=8)
+    t = jnp.asarray([0.0, 3.0, 49.0])
+    params = m.init(KEY, t)
+    got = np.asarray(m.apply(params, t))
+    assert got.shape == (3, 9)  # dim + 1
+    w = torch.from_numpy(np.asarray(params["params"]["weights"]))
+    tt = torch.tensor([0.0, 3.0, 49.0])[:, None]
+    freqs = tt * w[None, :] * 2 * math.pi
+    want = torch.cat([tt, freqs.sin(), freqs.cos()], dim=-1)
+    np.testing.assert_allclose(got, want.numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_unet_learned_sinusoidal_variant():
+    cfg = ModelConfig(
+        dim=8, dim_mults=(1, 2), full_attn=(False, True), channels=1,
+        learned_sinusoidal_cond=True, learned_sinusoidal_dim=8,
+    )
+    m = UNet(cfg)
+    x = jnp.ones((1, 8, 8, 1))
+    cond = jnp.ones((1, 8, 8, 1))
+    t = jnp.asarray([3.0])
+    params = m.init(KEY, x, cond, t)
+    assert "pos_emb" in params["params"]["time_mlp"]
+    out = m.apply(params, x, cond, t)
+    assert out.shape == (1, 8, 8, 1)
+
+
+def test_unet_self_condition():
+    """self_condition doubles the input channels (reference ddpm.py:406-408):
+    zeros by default, and a non-zero x_self_cond changes the output."""
+    cfg = ModelConfig(
+        dim=8, dim_mults=(1, 2), full_attn=(False, True), channels=1,
+        self_condition=True,
+    )
+    m = UNet(cfg)
+    x = jnp.ones((1, 8, 8, 1))
+    cond = jnp.ones((1, 8, 8, 1))
+    t = jnp.asarray([3.0])
+    params = m.init(KEY, x, cond, t)
+    # init conv consumes 2·C input channels
+    assert params["params"]["init_conv"]["kernel"].shape[2] == 2
+    out0 = m.apply(params, x, cond, t)
+    out_zero = m.apply(params, x, cond, t, x_self_cond=jnp.zeros_like(x))
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out_zero))
+    out_sc = m.apply(params, x, cond, t, x_self_cond=jnp.full_like(x, 0.7))
+    assert not np.allclose(np.asarray(out0), np.asarray(out_sc))
+
+
+def test_self_condition_training_loss_runs():
+    from localdiffusion_tpu.config import DiffusionConfig
+    from localdiffusion_tpu.diffusion.gaussian import GaussianDiffusion
+
+    mcfg = ModelConfig(
+        dim=8, dim_mults=(1, 2), full_attn=(False, True), channels=1,
+        self_condition=True,
+    )
+    gd = GaussianDiffusion(mcfg, DiffusionConfig(image_size=8, timesteps=10))
+    params = gd.init_params(KEY)
+    x = jnp.ones((2, 8, 8, 1)) * 0.5
+    cond = jnp.ones((2, 8, 8, 1))
+    l = jax.jit(gd.loss)(params, KEY, x, cond)
+    assert np.isfinite(float(l))

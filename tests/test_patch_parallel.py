@@ -10,6 +10,7 @@ from localdiffusion_tpu.diffusion.gaussian import GaussianDiffusion
 from localdiffusion_tpu.parallel import (
     extract_patches,
     patch_parallel_sample,
+    patch_parallel_sample_bucketed,
     plan_patches,
     stitch_patches,
 )
@@ -66,6 +67,73 @@ def test_patch_parallel_sample_on_mesh(mesh8):
     )
     assert out.shape == (2, 16, 16, 1)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def _echo_gd(timesteps=6, image_size=16):
+    """Oracle whose pred_x0 echoes the conditioning features: both plain and
+    branched chains converge to the (mask-recombined) conditioning, making
+    bucketed vs unbucketed outputs comparable without shared noise."""
+    mcfg = ModelConfig(dim=8, dim_mults=(1, 2), full_attn=(False, True), channels=1)
+    dcfg = DiffusionConfig(image_size=image_size, timesteps=timesteps)
+    gd = GaussianDiffusion(mcfg, dcfg)
+    gd.encode_cond = lambda params, cond: cond
+    gd.apply_model = lambda params, x, cond, t, cond_feat=None: cond_feat
+    return gd
+
+
+def test_bucketed_sampling_routes_and_matches():
+    """Sparse-mask bucketing: OOD-free patches run the plain chain, OOD
+    patches the branched one; the stitched result matches the unbucketed
+    patch-parallel program on the echo oracle (both reconstruct cond)."""
+    gd = _echo_gd()
+    cond = np.random.default_rng(3).uniform(0.2, 1.8, (1, 16, 16, 1)).astype(np.float32)
+    # OOD only in the top-left patch → 3 of 4 patches are OOD-free
+    mask = np.zeros((1, 16, 16, 1), np.float32)
+    mask[:, :4, :4, :] = 1.0
+    scfg = SamplerConfig(start_timestep=1)
+
+    cache = {}
+    out_b = patch_parallel_sample_bucketed(
+        gd, {}, cond, mask, KEY, scfg, (0.0, 2.0), patch=8, overlap=0,
+        _cache=cache,
+    )
+    # exactly one branched bucket (1 patch) and one plain bucket (3 patches)
+    kinds = sorted(k for k, _ in cache)
+    counts = {k: n for k, n in cache.keys()}
+    assert kinds == ["branched", "plain"]
+    assert counts["branched"] == 1 and counts["plain"] == 3
+
+    out_u = patch_parallel_sample(
+        gd, {}, jnp.asarray(cond), jnp.asarray(mask), KEY, scfg, (0.0, 2.0),
+        patch=8, overlap=0,
+    )
+    # echo oracle: both reconstruct cond (the OOD patch reconstructs the
+    # mask-recombined cond, which equals cond)
+    np.testing.assert_allclose(out_b, cond, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_u), cond, rtol=1e-4, atol=1e-5)
+
+
+def test_bucketed_all_plain_and_all_branched():
+    gd = _echo_gd()
+    cond = np.random.default_rng(4).uniform(0.2, 1.8, (1, 16, 16, 1)).astype(np.float32)
+    scfg = SamplerConfig(start_timestep=1)
+    # no OOD anywhere → one plain bucket only
+    cache = {}
+    out = patch_parallel_sample_bucketed(
+        gd, {}, cond, np.zeros((1, 16, 16, 1), np.float32), KEY, scfg,
+        (0.0, 2.0), patch=8, _cache=cache,
+    )
+    assert [k for k, _ in cache] == ["plain"]
+    np.testing.assert_allclose(out, cond, rtol=1e-4, atol=1e-5)
+    # OOD in every patch → one branched bucket only
+    cache = {}
+    mask = np.zeros((1, 16, 16, 1), np.float32)
+    mask[:, ::8, ::8, :] = 1.0  # one OOD pixel per patch corner
+    out2 = patch_parallel_sample_bucketed(
+        gd, {}, cond, mask, KEY, scfg, (0.0, 2.0), patch=8, _cache=cache,
+    )
+    assert [k for k, _ in cache] == ["branched"]
+    assert out2.shape == (1, 16, 16, 1)
 
 
 def test_branch_axis_sharding(mesh8):
