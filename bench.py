@@ -148,7 +148,8 @@ def peak_tflops_for(device_kind: str):
 
 def measure_tpu(batch: int = 64, timesteps: int = 50, repeats: int = 3,
                 image_size: int = 28, four_stage: bool = False,
-                bf16: bool = False, profile_dir: str | None = None):
+                bf16: bool = False, profile_dir: str | None = None,
+                s2d: int = 1):
     """Branched local-diffusion sampling throughput on the attached chip."""
     import jax
     import jax.numpy as jnp
@@ -160,11 +161,12 @@ def measure_tpu(batch: int = 64, timesteps: int = 50, repeats: int = 3,
     from localdiffusion_tpu.diffusion.gaussian import GaussianDiffusion
 
     if four_stage:
-        # the reference's MRI/MVTec scale (4-stage UNet, deep cond encoder)
+        # the reference's MRI/MVTec scale (4-stage UNet, deep cond encoder);
+        # s2d > 1 measures the TPU-first space-to-depth stem variant
         mcfg = ModelConfig(
             dim=32, init_dim=32, dim_mults=(1, 2, 4, 8),
             full_attn=(False, False, False, True), channels=1,
-            cond_encoder_depth="deep",
+            cond_encoder_depth="deep", stem_space_to_depth=s2d,
         )
     else:
         from __graft_entry__ import _flagship
@@ -296,6 +298,7 @@ def main():
         sps256, ips256, dt256, tflops256 = measure_tpu(
             batch=4, timesteps=args.timesteps, image_size=256, four_stage=True,
             bf16=args.bf16,
+            profile_dir="/tmp/jax_trace_256" if args.profile else None,
         )
         record["images_per_sec_256px"] = round(ips256, 3)
         record["steps_per_sec_256px"] = round(sps256, 2)
@@ -303,6 +306,15 @@ def main():
             record["achieved_tflops_256px"] = round(tflops256, 2)
             if peak and args.bf16:
                 record["mfu_256px"] = round(tflops256 / peak, 4)
+        # TPU-first s2d-stem variant (different architecture, needs
+        # retraining — see ModelConfig.stem_space_to_depth)
+        _, ips_s2d, _, tflops_s2d = measure_tpu(
+            batch=4, timesteps=args.timesteps, image_size=256,
+            four_stage=True, bf16=args.bf16, s2d=2,
+        )
+        record["images_per_sec_256px_s2d"] = round(ips_s2d, 3)
+        if tflops_s2d is not None and peak and args.bf16:
+            record["mfu_256px_s2d"] = round(tflops_s2d / peak, 4)
     print(json.dumps(record))
 
 

@@ -59,6 +59,14 @@ class ModelConfig:
     learned_sinusoidal_cond: bool = False
     random_fourier_features: bool = False
     learned_sinusoidal_dim: int = 16
+    # TPU-first high-res variant (NOT in the reference — needs retraining):
+    # f×f space-to-depth before the init conv and depth-to-space after the
+    # final conv.  At 256px the faithful architecture keeps C=32 tensors at
+    # full resolution, which drives XLA into transposing conv-layout copies
+    # and ≤25% lane occupancy on the VPU/MXU (profiled: 25% of device time
+    # in copies); the s2d stem trades them for C=128 at half resolution.
+    # 1 = off (the reference architecture).
+    stem_space_to_depth: int = 1
 
     def __post_init__(self):
         if len(self.full_attn) != len(self.dim_mults):
@@ -87,12 +95,15 @@ class ModelConfig:
     @property
     def cond_num_blocks(self) -> int:
         """Condition-encoder depth: must align its spatial reduction with the
-        denoiser bottleneck (reference shallow=3 / deep=4 blocks)."""
+        denoiser bottleneck (reference shallow=3 / deep=4 blocks).  The s2d
+        stem halves the denoiser bottleneck per factor-of-2, so the encoder
+        goes correspondingly deeper."""
+        extra = max(0, (self.stem_space_to_depth - 1).bit_length())
         if self.cond_encoder_depth == "shallow":
-            return 3
+            return 3 + extra
         if self.cond_encoder_depth == "deep":
-            return 4
-        return len(self.dim_mults)
+            return 4 + extra
+        return len(self.dim_mults) + extra
 
     @property
     def cond_base_dim(self) -> int:

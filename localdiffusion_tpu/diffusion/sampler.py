@@ -127,6 +127,12 @@ def _noise_like(key, x, t):
     return jnp.where(t > 0, n, jnp.zeros_like(n))
 
 
+def _noise_like_shape(key, shape, t):
+    """_noise_like drawing by explicit shape (same stream for equal shape)."""
+    n = jax.random.normal(key, shape, dtype=jnp.float32)
+    return jnp.where(t > 0, n, jnp.zeros_like(n))
+
+
 def ddpm_sample_plain(
     gd: GaussianDiffusion,
     params,
@@ -181,22 +187,6 @@ def ddpm_sample_plain(
     return img
 
 
-def _branched_model_call(gd, params, x_pair, tb, feat_pair, branch_sharding=None):
-    """One batched UNet call over both branches ([2B] batch).
-
-    `branch_sharding` (a NamedSharding/PartitionSpec over the flattened
-    [2B] axis, e.g. P(('patch', 'data'))) splits the IND/OOD pair across the
-    mesh 'patch' axis — each half-mesh runs one branch's UNet.
-    """
-    b = x_pair.shape[1]
-    X = jnp.concatenate([x_pair[0], x_pair[1]], axis=0)
-    T2 = jnp.concatenate([tb, tb], axis=0)
-    if branch_sharding is not None:
-        X = jax.lax.with_sharding_constraint(X, branch_sharding)
-    out = gd.apply_model(params, X, None, T2, cond_feat=feat_pair)
-    return out[:b], out[b:]
-
-
 def ddpm_sample_branched(
     gd: GaussianDiffusion,
     params,
@@ -246,62 +236,82 @@ def ddpm_sample_branched(
         tb = jnp.full((b,), t_top, dtype=jnp.int32)
         img0 = dm.q_sample(sched, gt, tb, img0)
 
-    x_pair = jnp.stack([img0, img0])  # both branches start from shared noise
+    # both branches carried as ONE flat [2B] batch (OOD half first, then
+    # IND) for the whole branched phase — per-step stack/concat/slice of the
+    # pair showed up as layout copies in 256px profiles; flat, the model
+    # call, x₀ conversion, posterior and noise update are each one fused
+    # [2B] op with no repacking
+    X2 = jnp.concatenate([img0, img0], axis=0)
 
-    def branch_starts(x_pair, tb, force_mask_x=False):
-        """Model predictions for both branches incl. mask_x policy + clip.
+    # trace-time constants routing the mask_x policy to the OOD half only
+    out_half = jnp.concatenate(
+        [jnp.ones((b, 1, 1, 1), bool), jnp.zeros((b, 1, 1, 1), bool)]
+    )
+    if scfg.mask_x_policy == "cond":
+        mask_x_repl2 = jnp.concatenate([cond_out, jnp.zeros_like(cond_out)])
+    else:
+        mask_x_mult2 = jnp.concatenate([m, jnp.ones_like(m)])
+        mask_x_zero2 = jnp.concatenate(
+            [m == 0.0, jnp.zeros_like(m, dtype=bool)]
+        )
+
+    def branch_starts2(X2, tb2, force_mask_x=False):
+        """Model predictions for both branches incl. mask_x policy + clip,
+        on the flat [2B] batch.
 
         `force_mask_x` models the reference's classifier-rejection re-entry,
         which sets mask_x=True before redoing the step (ddpm.py:910).
         """
-        mo_out, mo_in = _branched_model_call(
-            gd, params, x_pair, tb, feat_pair, branch_sharding
-        )
-        xs_out = dm.model_output_to_x_start(sched, mo_out, x_pair[0], tb)
-        xs_in = dm.model_output_to_x_start(sched, mo_in, x_pair[1], tb)
+        if branch_sharding is not None:
+            X2 = jax.lax.with_sharding_constraint(X2, branch_sharding)
+        out2 = gd.apply_model(params, X2, None, tb2, cond_feat=feat_pair)
+        xs2 = dm.model_output_to_x_start(sched, out2, X2, tb2)
         if scfg.mask_x or force_mask_x:
-            xs_out = apply_mask_x(xs_out, m, cond_out, lo, scfg.mask_x_policy)
-        xs_out = jnp.clip(xs_out, lo, hi)
-        xs_in = jnp.clip(xs_in, lo, hi)
-        return xs_out, xs_in
+            # apply_mask_x semantics (ddpm.py:697-708) on the OOD half only
+            if scfg.mask_x_policy == "cond":
+                xs2 = jnp.where(out_half, mask_x_repl2, xs2)
+            else:
+                xs2 = jnp.where(mask_x_zero2, jnp.float32(lo), xs2 * mask_x_mult2)
+        return jnp.clip(xs2, lo, hi)
 
     def branched_step(carry, t):
-        x_pair, k = carry
+        X2, k = carry
         k, nk = jax.random.split(k)
-        tb = jnp.full((b,), t, dtype=jnp.int32)
-        xs_out, xs_in = branch_starts(x_pair, tb)
-        mean_out, _, logvar_out = dm.q_posterior(sched, xs_out, x_pair[0], tb)
-        mean_in, _, logvar_in = dm.q_posterior(sched, xs_in, x_pair[1], tb)
-        noise = _noise_like(nk, x_pair[0], t)  # shared across branches
-        x_out = mean_out + jnp.exp(0.5 * logvar_out) * noise
-        x_in = mean_in + jnp.exp(0.5 * logvar_in) * noise
-        pair = jnp.stack([x_out, x_in])
-        return (pair, k), (pair if return_all else None)
+        tb2 = jnp.full((2 * b,), t, dtype=jnp.int32)
+        xs2 = branch_starts2(X2, tb2)
+        mean2, _, logvar2 = dm.q_posterior(sched, xs2, X2, tb2)
+        noise = _noise_like_shape(nk, shape, t)  # shared across branches
+        n2 = jnp.concatenate([noise, noise])
+        X2_new = mean2 + jnp.exp(0.5 * logvar2) * n2
+        ys = X2_new.reshape(2, b, *X2_new.shape[1:]) if return_all else None
+        return (X2_new, k), ys
 
     s = int(scfg.start_timestep)
 
     if not scfg.start_intermediate:
         # branched all the way down; returns the pair (ddpm.py:965-970)
         ts = jnp.arange(t_top - 1, -1, -1)
-        (x_pair, _), ys = jax.lax.scan(branched_step, (x_pair, key), ts)
+        (X2, _), ys = jax.lax.scan(branched_step, (X2, key), ts)
+        pair = X2.reshape(2, b, *X2.shape[1:])
         if return_all:
-            return x_pair, ys
-        return x_pair
+            return pair, ys
+        return pair
 
     # ---- phase A: branched steps t ∈ [T-1 .. s+1] ----
     if t_top - 1 > s:
         ts = jnp.arange(t_top - 1, s, -1)
-        (x_pair, key), _ = jax.lax.scan(branched_step, (x_pair, key), ts)
+        (X2, key), _ = jax.lax.scan(branched_step, (X2, key), ts)
 
     # ---- fusion at t = s (ddpm.py:779-810) ----
     debug_state = {}
 
-    def fuse_step(x_pair, t, k, capture_debug=False, force_mask_x=False):
-        tb = jnp.full((b,), t, dtype=jnp.int32)
-        xs_out, xs_in = branch_starts(x_pair, tb, force_mask_x=force_mask_x)
+    def fuse_step(X2, t, k, capture_debug=False, force_mask_x=False):
+        tb2 = jnp.full((2 * b,), t, dtype=jnp.int32)
+        xs2 = branch_starts2(X2, tb2, force_mask_x=force_mask_x)
+        xs_out, xs_in = xs2[:b], xs2[b:]
         x_start = xs_in * (1.0 - m) + xs_out  # xs_out is mask_x-masked
-        x_out_masked = x_pair[0] * m
-        x_in_masked = x_pair[1] * (1.0 - m)
+        x_out_masked = X2[:b] * m
+        x_in_masked = X2[b:] * (1.0 - m)
         x = fuse_noisy_states(x_out_masked, x_in_masked, m, scfg.fusion_route)
         x_start = jnp.clip(x_start, lo, hi)
         if capture_debug:
@@ -311,13 +321,15 @@ def ddpm_sample_branched(
                 pred_out=xs_out, pred_in=xs_in, pred_concat=x_start,
                 x_out=x_out_masked, x_in=x_in_masked,
             )
+        tb = jnp.full((b,), t, dtype=jnp.int32)
         mean, _, logvar = dm.q_posterior(sched, x_start, x, tb)
         noise = _noise_like(k, x, t)
-        return mean + jnp.exp(0.5 * logvar) * noise, (x_out_masked, x_in_masked)
+        img = mean + jnp.exp(0.5 * logvar) * noise
+        return img, jnp.concatenate([x_out_masked, x_in_masked])
 
     key, fk = jax.random.split(key)
     t_fuse = min(s, t_top - 1)
-    img, branchout_pair = fuse_step(x_pair, t_fuse, fk, capture_debug=return_debug)
+    img, x_branchout2 = fuse_step(X2, t_fuse, fk, capture_debug=return_debug)
 
     use_classifier = scfg.classifier and classifier_fn is not None
     accept_t = jnp.full((b,), gd.num_timesteps, jnp.int32)
@@ -343,7 +355,6 @@ def ddpm_sample_branched(
         noise = _noise_like(k, x, t)
         return mean + jnp.exp(0.5 * logvar) * noise, x_start
 
-    x_branchout = jnp.stack(branchout_pair)
     retry_budget = int(scfg.max_classifier_retries)
 
     def fused_phase_step(carry, t):
@@ -373,7 +384,7 @@ def ddpm_sample_branched(
             else jnp.zeros((b,), bool)
         )
         accept_now = (score > 0.0) | (t == 0) | budget_hit
-        img_retry, _ = fuse_step(x_branchout, t, rk, force_mask_x=True)
+        img_retry, _ = fuse_step(x_branchout2, t, rk, force_mask_x=True)
         use_plain = accepted | accept_now
         sel = use_plain[:, None, None, None]
         img_next = jnp.where(sel, img_plain, img_retry)
@@ -492,23 +503,35 @@ def ddim_sample_branched(
 
     key, init_key = jax.random.split(key)
     img0 = jax.random.normal(init_key, shape, dtype=jnp.float32)
-    x_pair = jnp.stack([img0, img0])
+    # flat [2B] branch carry — see ddpm_sample_branched
+    X2 = jnp.concatenate([img0, img0], axis=0)
 
-    def branch_preds(x_pair, tb):
-        """Branched model predictions with clip + rederived noise
-        (clip_x_start=True path of ddpm.py:725-749)."""
-        mo_out, mo_in = _branched_model_call(
-            gd, params, x_pair, tb, feat_pair, branch_sharding
+    out_half = jnp.concatenate(
+        [jnp.ones((b, 1, 1, 1), bool), jnp.zeros((b, 1, 1, 1), bool)]
+    )
+    if scfg.mask_x_policy == "cond":
+        mask_x_repl2 = jnp.concatenate([cond_out, jnp.zeros_like(cond_out)])
+    else:
+        mask_x_mult2 = jnp.concatenate([m, jnp.ones_like(m)])
+        mask_x_zero2 = jnp.concatenate(
+            [m == 0.0, jnp.zeros_like(m, dtype=bool)]
         )
-        xs_out = dm.model_output_to_x_start(sched, mo_out, x_pair[0], tb)
-        xs_in = dm.model_output_to_x_start(sched, mo_in, x_pair[1], tb)
+
+    def branch_preds2(X2, tb2):
+        """Branched model predictions with clip + rederived noise
+        (clip_x_start=True path of ddpm.py:725-749), flat [2B]."""
+        if branch_sharding is not None:
+            X2 = jax.lax.with_sharding_constraint(X2, branch_sharding)
+        out2 = gd.apply_model(params, X2, None, tb2, cond_feat=feat_pair)
+        xs2 = dm.model_output_to_x_start(sched, out2, X2, tb2)
         if scfg.mask_x:
-            xs_out = apply_mask_x(xs_out, m, cond_out, lo, scfg.mask_x_policy)
-        xs_out = jnp.clip(xs_out, lo, hi)
-        xs_in = jnp.clip(xs_in, lo, hi)
-        pn_out = dm.predict_noise_from_start(sched, x_pair[0], tb, xs_out)
-        pn_in = dm.predict_noise_from_start(sched, x_pair[1], tb, xs_in)
-        return (xs_out, pn_out), (xs_in, pn_in)
+            if scfg.mask_x_policy == "cond":
+                xs2 = jnp.where(out_half, mask_x_repl2, xs2)
+            else:
+                xs2 = jnp.where(mask_x_zero2, jnp.float32(lo), xs2 * mask_x_mult2)
+        xs2 = jnp.clip(xs2, lo, hi)
+        pn2 = dm.predict_noise_from_start(sched, X2, tb2, xs2)
+        return xs2, pn2
 
     def ddim_coeffs(t, t_next):
         alpha = sched.alphas_cumprod[t]
@@ -522,43 +545,47 @@ def ddim_sample_branched(
     pairs = np.stack([times[:-1], times[1:]], axis=1)
 
     def branched_step(carry, pair):
-        x_pair, k = carry
+        X2, k = carry
         t, t_next = pair[0], pair[1]
         k, nk = jax.random.split(k)
-        tb = jnp.full((b,), t, dtype=jnp.int32)
-        (xs_out, pn_out), (xs_in, pn_in) = branch_preds(x_pair, tb)
+        tb2 = jnp.full((2 * b,), t, dtype=jnp.int32)
+        xs2, pn2 = branch_preds2(X2, tb2)
         alpha_next, sigma, c = ddim_coeffs(t, t_next)
-        noise = jax.random.normal(nk, xs_out.shape, dtype=xs_out.dtype)
-        x_out = xs_out * jnp.sqrt(alpha_next) + c * pn_out + sigma * noise
-        x_in = xs_in * jnp.sqrt(alpha_next) + c * pn_in + sigma * noise
-        x_out = jnp.where(t_next < 0, xs_out, x_out)
-        x_in = jnp.where(t_next < 0, xs_in, x_in)
-        return (jnp.stack([x_out, x_in]), k), None
+        noise = jax.random.normal(nk, shape, dtype=jnp.float32)
+        n2 = jnp.concatenate([noise, noise])  # shared across branches
+        X2_step = xs2 * jnp.sqrt(alpha_next) + c * pn2 + sigma * n2
+        X2_new = jnp.where(t_next < 0, xs2, X2_step)
+        return (X2_new, k), None
+
+    def as_pair(X2):
+        return X2.reshape(2, b, *X2.shape[1:])
 
     if not scfg.start_intermediate or fuse_idx is None:
         # either branched-all-the-way by config, or the fusion time sits
         # below every pair (start_timestep ≤ -1): the reference predicate
         # `t <= start_timestep_ddim` never fires and the terminal pair
         # returns the unfused branch x_starts (ddpm.py:1005-1011)
-        (x_pair, _), _ = jax.lax.scan(branched_step, (x_pair, key), jnp.asarray(pairs))
-        return x_pair
+        (X2, _), _ = jax.lax.scan(branched_step, (X2, key), jnp.asarray(pairs))
+        return as_pair(X2)
 
     # phase A: branched pairs before the fusion index
     if fuse_idx > 0:
-        (x_pair, key), _ = jax.lax.scan(
-            branched_step, (x_pair, key), jnp.asarray(pairs[:fuse_idx])
+        (X2, key), _ = jax.lax.scan(
+            branched_step, (X2, key), jnp.asarray(pairs[:fuse_idx])
         )
 
     # fusion step (ddpm.py:1022-1041)
     t, t_next = int(pairs[fuse_idx][0]), int(pairs[fuse_idx][1])
     key, nk = jax.random.split(key)
-    tb = jnp.full((b,), t, dtype=jnp.int32)
-    (xs_out, pn_out), (xs_in, pn_in) = branch_preds(x_pair, tb)
+    tb2 = jnp.full((2 * b,), t, dtype=jnp.int32)
+    xs2, pn2 = branch_preds2(X2, tb2)
+    xs_out, xs_in = xs2[:b], xs2[b:]
+    pn_out, pn_in = pn2[:b], pn2[b:]
     if t_next < 0:
         # the reference checks time_next < 0 BEFORE the fusion predicate and
         # returns the unfused branch pair (ddpm.py:1007-1011) — reached when
         # start_timestep maps the fusion onto the terminal DDIM pair
-        return jnp.stack([xs_out, xs_in])
+        return as_pair(xs2)
     x_start = fuse_noisy_states(xs_out, xs_in, m, scfg.fusion_route)
     x_start = jnp.clip(x_start, lo, hi)
     pn_out_masked = pn_out * m

@@ -64,7 +64,8 @@ class UNet(nn.Module):
         time_dim = dim * 4
         groups = cfg.resnet_block_groups
 
-        factor = cfg.downsample_factor
+        f = cfg.stem_space_to_depth
+        factor = cfg.downsample_factor * f
         assert x.shape[1] % factor == 0 and x.shape[2] % factor == 0, (
             f"input dims {x.shape[1:3]} must be divisible by {factor}"
         )
@@ -76,6 +77,13 @@ class UNet(nn.Module):
             if x_self_cond is None:
                 x_self_cond = jnp.zeros_like(x)
             x = jnp.concatenate([x_self_cond.astype(self.dtype), x], axis=-1)
+        if f > 1:
+            # TPU-first stem (config.stem_space_to_depth): fold f×f spatial
+            # blocks into channels so no full-resolution C≈32 tensor exists
+            # — those drive XLA into transposing conv-layout copies at 256px
+            bb, hh, ww, cc = x.shape
+            x = x.reshape(bb, hh // f, f, ww // f, f, cc)
+            x = x.transpose(0, 1, 3, 5, 2, 4).reshape(bb, hh // f, ww // f, cc * f * f)
         x = nn.Conv(init_dim, (7, 7), padding=3, dtype=self.dtype, name="init_conv")(x)
         r = x
 
@@ -154,8 +162,15 @@ class UNet(nn.Module):
         x = jnp.concatenate([x, r], axis=-1)
         x = ResnetBlock(dim, groups, dtype=self.dtype, name="final_res_block")(x, t)
         out = nn.Conv(
-            cfg.resolved_out_dim, (1, 1), dtype=jnp.float32, name="final_conv"
+            cfg.resolved_out_dim * f * f, (1, 1), dtype=jnp.float32,
+            name="final_conv",
         )(x.astype(jnp.float32))
+        if f > 1:
+            # depth-to-space back to the input resolution
+            bb, hh, ww, cc = out.shape
+            co = cc // (f * f)
+            out = out.reshape(bb, hh, ww, co, f, f)
+            out = out.transpose(0, 1, 4, 2, 5, 3).reshape(bb, hh * f, ww * f, co)
         return out
 
 

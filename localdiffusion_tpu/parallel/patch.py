@@ -112,6 +112,7 @@ def patch_parallel_sample(
     patch: int,
     overlap: int = 0,
     mesh=None,
+    _cache: dict = None,
 ):
     """Branched local diffusion over a tiled batch of patches.
 
@@ -163,14 +164,21 @@ def patch_parallel_sample(
             )
         return stitch_patches(out_p, grid, b, overlap)
 
+    # cache the jitted program (pass `_cache` to avoid RE-TRACING the whole
+    # T-step scan on every call — tracing costs seconds at 256px)
+    cache = _cache if _cache is not None else {}
+    ck = ("patch_parallel", b, h, w, c, patch, overlap, mesh is None)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         rep = NamedSharding(mesh, P())
         with mesh:
-            fn = jax.jit(run, in_shardings=(rep, rep, rep, None))
-            return fn(params, jnp.asarray(cond), jnp.asarray(mask), key)
-    return jax.jit(run)(params, jnp.asarray(cond), jnp.asarray(mask), key)
+            if ck not in cache:
+                cache[ck] = jax.jit(run, in_shardings=(rep, rep, rep, None))
+            return cache[ck](params, jnp.asarray(cond), jnp.asarray(mask), key)
+    if ck not in cache:
+        cache[ck] = jax.jit(run)
+    return cache[ck](params, jnp.asarray(cond), jnp.asarray(mask), key)
 
 
 def _extract_patches_np(img: np.ndarray, grid: PatchGrid) -> np.ndarray:
@@ -210,67 +218,64 @@ def patch_parallel_sample_bucketed(
     the IND state everywhere — i.e. exactly the plain chain (modulo the
     noise-draw layout).  Verified against the unbucketed program by oracle
     test (tests/test_patch_parallel.py).
+
+    Both buckets + the stitch run inside ONE jitted program (static gather
+    by the host-chosen indices, scatter back, feather-stitch) — separate
+    per-bucket dispatches measured ~0.7 s of overhead per call over a
+    high-latency link.
     """
     from localdiffusion_tpu.diffusion import sampler as S
 
     b, h, w, c = cond.shape
     grid = plan_patches(h, w, patch, overlap)
-    cond_np = np.asarray(cond, np.float32)
     mask_np = np.asarray(mask, np.float32)
-    cond_flat = _extract_patches_np(cond_np, grid)
     mask_flat = _extract_patches_np(mask_np, grid)
 
-    n = cond_flat.shape[0]
+    n = mask_flat.shape[0]
     has_ood = (mask_flat >= 1.0).reshape(n, -1).any(axis=1)
-    ood_idx = np.nonzero(has_ood)[0]
-    plain_idx = np.nonzero(~has_ood)[0]
+    ood_idx = tuple(int(i) for i in np.nonzero(has_ood)[0])
+    plain_idx = tuple(int(i) for i in np.nonzero(~has_ood)[0])
 
     import copy
 
     gd_patch = copy.copy(gd)
     gd_patch.image_size = patch
     cache = _cache if _cache is not None else {}
+    ck = ("bucketed", b, h, w, c, patch, overlap, plain_idx, ood_idx)
 
-    def get_fn(kind, count):
-        k = (kind, count)
-        if k not in cache:
-            if kind == "plain":
+    if ck not in cache:
+
+        def run(params, cond, mask, k):
+            cond_p = extract_patches(cond, grid)
+            mask_p = extract_patches(mask, grid)
+            kp, ko = jax.random.split(k)
+            outs = jnp.zeros_like(cond_p)
+            if plain_idx:
+                pi = jnp.asarray(plain_idx)
+                cp = jnp.take(cond_p, pi, axis=0)
                 if gd_patch.is_ddim_sampling:
-                    f = lambda p_, c_, k_: S.ddim_sample_plain(
-                        gd_patch, p_, c_, k_, min_max_val
+                    op = S.ddim_sample_plain(gd_patch, params, cp, kp, min_max_val)
+                else:
+                    op = S.ddpm_sample_plain(gd_patch, params, cp, kp, min_max_val)
+                outs = outs.at[pi].set(op)
+            if ood_idx:
+                oi = jnp.asarray(ood_idx)
+                co = jnp.take(cond_p, oi, axis=0)
+                mo = jnp.take(mask_p, oi, axis=0)
+                if gd_patch.is_ddim_sampling:
+                    oo = S.ddim_sample_branched(
+                        gd_patch, params, co, mo, ko, scfg, min_max_val
                     )
                 else:
-                    f = lambda p_, c_, k_: S.ddpm_sample_plain(
-                        gd_patch, p_, c_, k_, min_max_val
+                    oo = S.ddpm_sample_branched(
+                        gd_patch, params, co, mo, ko, scfg, min_max_val
                     )
-            else:
-                if gd_patch.is_ddim_sampling:
-                    f = lambda p_, c_, m_, k_: S.ddim_sample_branched(
-                        gd_patch, p_, c_, m_, k_, scfg, min_max_val
-                    )
-                else:
-                    f = lambda p_, c_, m_, k_: S.ddpm_sample_branched(
-                        gd_patch, p_, c_, m_, k_, scfg, min_max_val
-                    )
-            cache[k] = jax.jit(f)
-        return cache[k]
+                outs = outs.at[oi].set(oo)
+            return stitch_patches(outs, grid, b, overlap)
 
-    key_plain, key_ood = jax.random.split(key)
-    out_flat = np.empty_like(cond_flat)
-    if len(plain_idx):
-        out_p = get_fn("plain", len(plain_idx))(
-            params, jnp.asarray(cond_flat[plain_idx]), key_plain
-        )
-        out_flat[plain_idx] = np.asarray(out_p, np.float32)
-    if len(ood_idx):
-        out_o = get_fn("branched", len(ood_idx))(
-            params,
-            jnp.asarray(cond_flat[ood_idx]),
-            jnp.asarray(mask_flat[ood_idx]),
-            key_ood,
-        )
-        out_flat[ood_idx] = np.asarray(out_o, np.float32)
+        cache[ck] = jax.jit(run)
 
     return np.asarray(
-        stitch_patches(jnp.asarray(out_flat), grid, b, overlap)
+        cache[ck](params, jnp.asarray(cond, jnp.float32),
+                  jnp.asarray(mask, jnp.float32), key)
     )

@@ -289,3 +289,31 @@ def test_self_condition_training_loss_runs():
     cond = jnp.ones((2, 8, 8, 1))
     l = jax.jit(gd.loss)(params, KEY, x, cond)
     assert np.isfinite(float(l))
+
+
+def test_unet_s2d_stem_variant():
+    """TPU-first stem: f=2 space-to-depth in, depth-to-space out — output
+    shape equals input shape; bottleneck aligns with the deeper cond
+    encoder."""
+    cfg = ModelConfig(
+        dim=8, dim_mults=(1, 2), full_attn=(False, True), channels=1,
+        stem_space_to_depth=2,
+    )
+    m = UNet(cfg)
+    x = jnp.ones((1, 16, 16, 1))
+    cond = jnp.ones((1, 16, 16, 1))
+    t = jnp.asarray([3.0])
+    params = m.init(KEY, x, cond, t)
+    out = m.apply(params, x, cond, t)
+    assert out.shape == (1, 16, 16, 1)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # d2s/s2d are exact inverses: a pure-identity check on the reshape pair
+    f = 2
+    v = jnp.arange(1 * 8 * 8 * 4.0).reshape(1, 8, 8, 4)
+    b, h, w, c = v.shape
+    s2d = v.reshape(b, h // f, f, w // f, f, c).transpose(0, 1, 3, 5, 2, 4)
+    s2d = s2d.reshape(b, h // f, w // f, c * f * f)
+    bb, hh, ww, cc = s2d.shape
+    back = s2d.reshape(bb, hh, ww, cc // (f * f), f, f).transpose(0, 1, 4, 2, 5, 3)
+    back = back.reshape(bb, hh * f, ww * f, cc // (f * f))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(v))

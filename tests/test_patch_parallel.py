@@ -97,11 +97,11 @@ def test_bucketed_sampling_routes_and_matches():
         gd, {}, cond, mask, KEY, scfg, (0.0, 2.0), patch=8, overlap=0,
         _cache=cache,
     )
-    # exactly one branched bucket (1 patch) and one plain bucket (3 patches)
-    kinds = sorted(k for k, _ in cache)
-    counts = {k: n for k, n in cache.keys()}
-    assert kinds == ["branched", "plain"]
-    assert counts["branched"] == 1 and counts["plain"] == 3
+    # one fused program whose static buckets are 3 plain + 1 branched patch
+    (ck,) = cache.keys()
+    plain_idx, ood_idx = ck[-2], ck[-1]
+    assert len(plain_idx) == 3 and len(ood_idx) == 1
+    assert ood_idx == (0,)  # the top-left patch carries the OOD region
 
     out_u = patch_parallel_sample(
         gd, {}, jnp.asarray(cond), jnp.asarray(mask), KEY, scfg, (0.0, 2.0),
@@ -117,22 +117,24 @@ def test_bucketed_all_plain_and_all_branched():
     gd = _echo_gd()
     cond = np.random.default_rng(4).uniform(0.2, 1.8, (1, 16, 16, 1)).astype(np.float32)
     scfg = SamplerConfig(start_timestep=1)
-    # no OOD anywhere → one plain bucket only
+    # no OOD anywhere → plain bucket covers all 4 patches
     cache = {}
     out = patch_parallel_sample_bucketed(
         gd, {}, cond, np.zeros((1, 16, 16, 1), np.float32), KEY, scfg,
         (0.0, 2.0), patch=8, _cache=cache,
     )
-    assert [k for k, _ in cache] == ["plain"]
+    (ck,) = cache.keys()
+    assert len(ck[-2]) == 4 and len(ck[-1]) == 0
     np.testing.assert_allclose(out, cond, rtol=1e-4, atol=1e-5)
-    # OOD in every patch → one branched bucket only
+    # OOD in every patch → branched bucket covers all 4 patches
     cache = {}
     mask = np.zeros((1, 16, 16, 1), np.float32)
     mask[:, ::8, ::8, :] = 1.0  # one OOD pixel per patch corner
     out2 = patch_parallel_sample_bucketed(
         gd, {}, cond, mask, KEY, scfg, (0.0, 2.0), patch=8, _cache=cache,
     )
-    assert [k for k, _ in cache] == ["branched"]
+    (ck2,) = cache.keys()
+    assert len(ck2[-2]) == 0 and len(ck2[-1]) == 4
     assert out2.shape == (1, 16, 16, 1)
 
 
