@@ -149,7 +149,7 @@ def peak_tflops_for(device_kind: str):
 def measure_tpu(batch: int = 64, timesteps: int = 50, repeats: int = 3,
                 image_size: int = 28, four_stage: bool = False,
                 bf16: bool = False, profile_dir: str | None = None,
-                s2d: int = 1):
+                s2d: int = 1, exact_s2d: bool = False):
     """Branched local-diffusion sampling throughput on the attached chip."""
     import jax
     import jax.numpy as jnp
@@ -163,10 +163,13 @@ def measure_tpu(batch: int = 64, timesteps: int = 50, repeats: int = 3,
     if four_stage:
         # the reference's MRI/MVTec scale (4-stage UNet, deep cond encoder);
         # s2d > 1 measures the TPU-first space-to-depth stem variant
+        # (different arch); exact_s2d runs the FAITHFUL arch through the
+        # exact layout transform (models/unet_s2d.py — same params/outputs)
         mcfg = ModelConfig(
             dim=32, init_dim=32, dim_mults=(1, 2, 4, 8),
             full_attn=(False, False, False, True), channels=1,
             cond_encoder_depth="deep", stem_space_to_depth=s2d,
+            exact_layout_s2d=2 if exact_s2d else 1,
         )
     else:
         from __graft_entry__ import _flagship
@@ -306,6 +309,15 @@ def main():
             record["achieved_tflops_256px"] = round(tflops256, 2)
             if peak and args.bf16:
                 record["mfu_256px"] = round(tflops256 / peak, 4)
+        # exact s2d layout execution of the SAME faithful architecture
+        # (models/unet_s2d.py: same params, same outputs, no retraining)
+        _, ips_exact, _, tflops_exact = measure_tpu(
+            batch=4, timesteps=args.timesteps, image_size=256,
+            four_stage=True, bf16=args.bf16, exact_s2d=True,
+        )
+        record["images_per_sec_256px_exact_s2d"] = round(ips_exact, 3)
+        if tflops_exact is not None and peak and args.bf16:
+            record["mfu_256px_exact_s2d"] = round(tflops_exact / peak, 4)
         # TPU-first s2d-stem variant (different architecture, needs
         # retraining — see ModelConfig.stem_space_to_depth)
         _, ips_s2d, _, tflops_s2d = measure_tpu(

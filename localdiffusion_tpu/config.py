@@ -67,6 +67,12 @@ class ModelConfig:
     # in copies); the s2d stem trades them for C=128 at half resolution.
     # 1 = off (the reference architecture).
     stem_space_to_depth: int = 1
+    # EXACT space-to-depth layout execution of the faithful architecture
+    # (models/unet_s2d.py): same params, same outputs (float reassociation
+    # only), but the full-resolution stage computes in an [H/f, W/f, f²·C]
+    # layout with algebraically transformed kernels — no retraining, removes
+    # the 256px conv-layout copies.  1 = off; 2 = fold 2×2 blocks.
+    exact_layout_s2d: int = 1
 
     def __post_init__(self):
         if len(self.full_attn) != len(self.dim_mults):
@@ -75,6 +81,11 @@ class ModelConfig:
             )
         if self.cond_encoder_depth not in ("shallow", "deep", "auto"):
             raise ValueError(f"bad cond_encoder_depth {self.cond_encoder_depth}")
+        if self.exact_layout_s2d > 1 and self.stem_space_to_depth > 1:
+            raise ValueError(
+                "exact_layout_s2d transforms the faithful architecture; "
+                "it cannot combine with the stem_space_to_depth variant"
+            )
 
     @property
     def resolved_init_dim(self) -> int:

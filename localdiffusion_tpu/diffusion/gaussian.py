@@ -74,6 +74,21 @@ class GaussianDiffusion:
     # model application
     # ------------------------------------------------------------------
     def apply_model(self, params, x, cond, t, cond_feat=None, x_self_cond=None):
+        if self.model_cfg.exact_layout_s2d > 1:
+            # exact space-to-depth layout execution (models/unet_s2d.py):
+            # same params and outputs, full-res stage runs lane-occupied
+            from localdiffusion_tpu.models.unet_s2d import apply_unet_s2d
+
+            return apply_unet_s2d(
+                params,
+                self.model_cfg,
+                x,
+                cond,
+                t,
+                cond_feat=cond_feat,
+                x_self_cond=x_self_cond,
+                dtype=self.model.dtype,
+            )
         return self.model.apply(
             params, x, cond, t, cond_feat=cond_feat, x_self_cond=x_self_cond
         )
