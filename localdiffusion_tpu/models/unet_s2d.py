@@ -278,17 +278,23 @@ def _attention_s2d(x, p, heads, dim_head, f, dtype, full: bool):
     xn = rmsnorm_s2d(x5, p["norm"]["g"], dtype)
     Wqkv = p["to_qkv"]["kernel"][0, 0].astype(dtype)  # [C, 3·hidden]
     qkv = jnp.einsum("bhwpc,cd->bhwpd", xn, Wqkv)
-    qkv = qkv.reshape(b, n, 3, heads, dim_head)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
     if full:
+        qkv = qkv.reshape(b, n, 3, heads, dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         out = full_attention(q, k, v)  # [b, n, H, d]
     else:
+        # spatial-major like blocks.LinearAttention: no [b, n, 3, H, d]
+        # token flatten (profiled as the dominant layout-copy source)
+        qkv = qkv.reshape(b, h, w, ff, 3, heads, dim_head)
+        q = qkv[..., 0, :, :]  # [b, h, w, ff, H, d]
+        k = qkv[..., 1, :, :]
+        v = qkv[..., 2, :, :]
         scale = dim_head**-0.5
         q = jax.nn.softmax(q.astype(jnp.float32), axis=-1).astype(dtype) * scale
-        k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(dtype)
-        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
-        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
+        k = jax.nn.softmax(k.astype(jnp.float32), axis=(1, 2, 3)).astype(dtype)
+        context = jnp.einsum("bhwpqd,bhwpqe->bqde", k, v)
+        out = jnp.einsum("bqde,bhwpqd->bhwpqe", context, q)
 
     out = out.reshape(b, h, w, ff, hidden)
     Wout = p["to_out"]["kernel"][0, 0].astype(dtype)
