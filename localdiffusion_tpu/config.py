@@ -71,8 +71,11 @@ class ModelConfig:
     # (models/unet_s2d.py): same params, same outputs (float reassociation
     # only), but the full-resolution stage computes in an [H/f, W/f, f²·C]
     # layout with algebraically transformed kernels — no retraining, removes
-    # the 256px conv-layout copies.  1 = off; 2 = fold 2×2 blocks.
-    exact_layout_s2d: int = 1
+    # the 256px conv-layout copies (measured 2.26 → 3.71 img/s at 256px).
+    # 0 = auto (on for inputs ≥ 128px, off below — decided per call from the
+    # input shape, so patch-parallel tiles resolve independently);
+    # 1 = off; 2 = fold 2×2 blocks.
+    exact_layout_s2d: int = 0
 
     def __post_init__(self):
         if len(self.full_attn) != len(self.dim_mults):
@@ -86,6 +89,30 @@ class ModelConfig:
                 "exact_layout_s2d transforms the faithful architecture; "
                 "it cannot combine with the stem_space_to_depth variant"
             )
+        if self.exact_layout_s2d < 0:
+            raise ValueError("exact_layout_s2d: 0=auto, 1=off, >=2=fold factor")
+
+    def resolve_exact_layout_s2d(self, h: int, w: int) -> int:
+        """Effective s2d layout factor for an input of spatial size (h, w).
+
+        auto (0) turns the transform on for large inputs where the C≈32
+        full-res stage is layout-bound (≥128px), off for small ones where
+        the fold overhead outweighs the gain (e.g. 28px MNIST)."""
+        f = self.exact_layout_s2d
+        if f == 1:
+            return 1
+        if f == 0:
+            f = 2
+            if min(h, w) < 128:
+                return 1
+        if (
+            self.stem_space_to_depth > 1
+            or len(self.dim_mults) < 2
+            or h % (self.downsample_factor * f)
+            or w % (self.downsample_factor * f)
+        ):
+            return 1
+        return f
 
     @property
     def resolved_init_dim(self) -> int:

@@ -74,9 +74,12 @@ class GaussianDiffusion:
     # model application
     # ------------------------------------------------------------------
     def apply_model(self, params, x, cond, t, cond_feat=None, x_self_cond=None):
-        if self.model_cfg.exact_layout_s2d > 1:
-            # exact space-to-depth layout execution (models/unet_s2d.py):
-            # same params and outputs, full-res stage runs lane-occupied
+        # exact space-to-depth layout execution (models/unet_s2d.py): same
+        # params and outputs, full-res stage runs lane-occupied.  Resolved
+        # per call from the (static) input shape so small inputs and
+        # patch-parallel tiles keep the standard path.
+        f = self.model_cfg.resolve_exact_layout_s2d(x.shape[1], x.shape[2])
+        if f > 1:
             from localdiffusion_tpu.models.unet_s2d import apply_unet_s2d
 
             return apply_unet_s2d(
@@ -88,6 +91,7 @@ class GaussianDiffusion:
                 cond_feat=cond_feat,
                 x_self_cond=x_self_cond,
                 dtype=self.model.dtype,
+                factor=f,
             )
         return self.model.apply(
             params, x, cond, t, cond_feat=cond_feat, x_self_cond=x_self_cond

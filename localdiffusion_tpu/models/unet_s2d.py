@@ -339,13 +339,16 @@ def apply_unet_s2d(
     cond_feat: Optional[jnp.ndarray] = None,
     x_self_cond: Optional[jnp.ndarray] = None,
     dtype: Dtype = jnp.float32,
+    factor: Optional[int] = None,
 ) -> jnp.ndarray:
     """UNet.apply (models/unet.py) with the full-resolution stage executed in
     s2d layout.  Consumes the unmodified UNet param tree; interior stages run
     the original flax modules on their param subtrees.
     """
     p = variables["params"]
-    f = cfg.exact_layout_s2d
+    f = factor if factor is not None else cfg.resolve_exact_layout_s2d(
+        x.shape[1], x.shape[2]
+    )
     assert f > 1 and cfg.stem_space_to_depth == 1, (
         "exact_layout_s2d applies to the faithful (stem_space_to_depth=1) arch"
     )

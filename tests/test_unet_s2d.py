@@ -168,3 +168,48 @@ def test_gradients_match_through_transform():
     assert len(flat_ref) == len(flat_s2d)
     for a, b in zip(flat_ref, flat_s2d):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-3, atol=1e-5)
+
+
+def test_resolve_auto_by_input_size():
+    cfg = ModelConfig(dim=8, dim_mults=(1, 2, 4, 8), full_attn=(False,) * 4)
+    assert cfg.exact_layout_s2d == 0  # default: auto
+    assert cfg.resolve_exact_layout_s2d(28, 28) == 1   # small input: off
+    assert cfg.resolve_exact_layout_s2d(64, 64) == 1
+    assert cfg.resolve_exact_layout_s2d(128, 128) == 2  # large: on
+    assert cfg.resolve_exact_layout_s2d(256, 256) == 2
+    assert cfg.resolve_exact_layout_s2d(136, 136) == 1  # not divisible by 16
+    off = ModelConfig(dim=8, dim_mults=(1, 2, 4, 8), full_attn=(False,) * 4,
+                      exact_layout_s2d=1)
+    assert off.resolve_exact_layout_s2d(256, 256) == 1
+    forced = ModelConfig(dim=8, dim_mults=(1, 2), full_attn=(False, False),
+                         exact_layout_s2d=2)
+    assert forced.resolve_exact_layout_s2d(32, 32) == 2
+    stem = ModelConfig(dim=8, dim_mults=(1, 2, 4, 8), full_attn=(False,) * 4,
+                       stem_space_to_depth=2)
+    assert stem.resolve_exact_layout_s2d(256, 256) == 1
+
+
+def test_exact_s2d_under_data_parallel_mesh():
+    """The transform must compose with pjit sharding (batch over 'data')."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mcfg = ModelConfig(dim=8, dim_mults=(1, 2), channels=1,
+                       full_attn=(False, True), exact_layout_s2d=2)
+    dcfg = DiffusionConfig(image_size=8, timesteps=10)
+    gd = GaussianDiffusion(mcfg, dcfg)
+    params = gd.init_params(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 8, 8, 1))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (8, 8, 8, 1))
+    t = jnp.zeros((8,))
+    ref = gd.apply_model(params, x, cond, t)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    sh = NamedSharding(mesh, P("data"))
+    fn = jax.jit(
+        lambda p, xx, cc, tt: gd.apply_model(p, xx, cc, tt),
+        in_shardings=(None, sh, sh, sh),
+        out_shardings=sh,
+    )
+    with mesh:
+        got = fn(params, x, cond, t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
