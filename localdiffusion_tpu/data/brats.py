@@ -127,8 +127,19 @@ class BRATSPngDataset:
 class BRATSVolumeDataset:
     """Slices from raw 3-D volumes (the .mha path, reference data.py:444-604).
 
-    Volumes are [D, H, W] numpy arrays (converted offline from .mha); slice
-    range 60–120 step 5 as in data.py:478-480.
+    Volumes are [D, H, W] numpy arrays (converted offline from .mha via
+    scripts/convert_mha.py); slice range 60–120 step 5 as in data.py:467-494.
+
+    `slice_filter` reproduces the reference's per-volume selection:
+      * "none"           — every slice in range (reference SingleMedDataset,
+                           data.py:549-565: all slices of one volume, no
+                           filtering)
+      * "healthy"        — tumor-free slices only (seg slice has a single
+                           unique value; reference train path data.py:467-471)
+      * "tumor_capped"   — tumor slices only, at most `per_volume_cap` per
+                           volume (reference test tumor=True, data.py:473-484)
+      * "healthy_capped" — tumor-free, at most `per_volume_cap` per volume
+                           (reference test tumor=False, data.py:486-493)
     """
 
     def __init__(
@@ -140,19 +151,56 @@ class BRATSVolumeDataset:
         slice_range=range(60, 120, 5),
         crop: int = 224,
         mode: str = "flair",
+        slice_filter: str = "none",
+        per_volume_cap: int = 2,
     ):
+        if slice_filter not in ("none", "healthy", "tumor_capped", "healthy_capped"):
+            raise ValueError(f"bad slice_filter {slice_filter}")
         self.cfg = cfg
         self.crop = crop
         self.mode = mode
         self.slices = []
         for vi in range(len(t1_volumes)):
+            kept = 0
             for s in slice_range:
-                if s < t1_volumes[vi].shape[0]:
-                    seg = (
-                        seg_volumes[vi][s] if seg_volumes is not None else
-                        np.zeros_like(t1_volumes[vi][s])
-                    )
-                    self.slices.append((t1_volumes[vi][s], flair_volumes[vi][s], seg))
+                if s >= t1_volumes[vi].shape[0]:
+                    continue
+                seg = (
+                    seg_volumes[vi][s] if seg_volumes is not None else
+                    np.zeros_like(t1_volumes[vi][s])
+                )
+                healthy = np.unique(seg).size == 1  # reference data.py:469
+                if slice_filter in ("healthy", "healthy_capped") and not healthy:
+                    continue
+                if slice_filter == "tumor_capped" and healthy:
+                    continue
+                self.slices.append((t1_volumes[vi][s], flair_volumes[vi][s], seg))
+                kept += 1
+                if slice_filter.endswith("_capped") and kept >= per_volume_cap:
+                    break  # reference data.py:483-484, 492-493
+
+    @classmethod
+    def single_volume(
+        cls,
+        cfg: DataConfig,
+        t1: np.ndarray,
+        flair: np.ndarray,
+        seg: Optional[np.ndarray] = None,
+        crop: int = 224,
+        mode: str = "flair",
+    ) -> "BRATSVolumeDataset":
+        """All slices of one volume, unfiltered (reference SingleMedDataset,
+        data.py:549-604)."""
+        return cls(
+            cfg,
+            [t1],
+            [flair],
+            None if seg is None else [seg],
+            slice_range=range(t1.shape[0]),
+            crop=crop,
+            mode=mode,
+            slice_filter="none",
+        )
 
     def __len__(self):
         return len(self.slices)

@@ -98,6 +98,19 @@ class GaussianDiffusion:
         )
 
     def encode_cond(self, params, cond):
+        f = self.model_cfg.resolve_exact_layout_s2d(cond.shape[1], cond.shape[2])
+        if f > 1:
+            from localdiffusion_tpu.models.unet_s2d import encode_cond_s2d
+
+            return encode_cond_s2d(
+                params["params"]["cond_model"],
+                self.model_cfg.cond_num_blocks,
+                self.model_cfg.cond_base_dim,
+                self.model_cfg.cond_group_num,
+                cond,
+                self.model.dtype,
+                f=f,
+            )
         return encode_cond(params, self.model_cfg, cond, dtype=self.model.dtype)
 
     # ------------------------------------------------------------------

@@ -61,7 +61,6 @@ from localdiffusion_tpu.models.blocks import (
     TimeMlp,
     Upsample,
 )
-from localdiffusion_tpu.models.cond_encoder import CondEncoder
 from localdiffusion_tpu.ops.attention import full_attention
 
 Dtype = Any
@@ -218,6 +217,120 @@ def gn_film_silu_s2d(x, gamma, beta, scale, shift, groups, f, eps=1e-5):
         sh = tile_phase(shift.astype(jnp.float32), f)
         y = y * (sc[:, None, None, :] + 1.0) + sh[:, None, None, :]
     return (y * jax.nn.sigmoid(y)).astype(x.dtype)
+
+
+def gn_act_s2d(x, gamma, beta, groups, f, eps, act=None):
+    """Plain GroupNorm (+ optional activation) on a phase-major s2d tensor
+    — same statistics pooling as gn_film_silu_s2d, flax nn.GroupNorm
+    convention (eps 1e-6 default there; pass explicitly for parity)."""
+    b, h, w, cc = x.shape
+    ff = f * f
+    c = cc // ff
+    cg = c // groups
+    xf = x.astype(jnp.float32)
+    s = jnp.sum(xf, axis=(1, 2))
+    ss = jnp.sum(xf * xf, axis=(1, 2))
+    gs = jnp.sum(s.reshape(b, ff, groups, cg), axis=(1, 3))
+    gss = jnp.sum(ss.reshape(b, ff, groups, cg), axis=(1, 3))
+    n = jnp.float32(h * w * ff * cg)
+    mean = gs / n
+    var = jnp.maximum(gss / n - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    mean_c = jnp.tile(jnp.repeat(mean, cg, axis=1), (1, ff))
+    inv_c = jnp.tile(jnp.repeat(inv, cg, axis=1), (1, ff))
+    g_c = tile_phase(gamma.astype(jnp.float32), f)
+    b_c = tile_phase(beta.astype(jnp.float32), f)
+    a_c = inv_c * g_c[None, :]
+    y = (xf - mean_c[:, None, None, :]) * a_c[:, None, None, :] + b_c
+    if act == "relu":
+        y = jnp.maximum(y, 0.0)
+    return y.astype(x.dtype)
+
+
+def phase_max_collapse(x, f):
+    """2×2 max-pool (stride 2) of the underlying full-res tensor, given its
+    phase-major s2d representation: the pool window IS the phase block, so
+    pooling = max over the phase axis → a normal-layout half-res tensor."""
+    b, h, w, cc = x.shape
+    ff = f * f
+    return jnp.max(x.reshape(b, h, w, ff, cc // ff), axis=3)
+
+
+def _cond_groups(group_num: int, channels: int) -> int:
+    g = min(group_num, channels)
+    while channels % g != 0:
+        g -= 1
+    return max(g, 1)
+
+
+def basic_block_s2d(x, p, mid_dim, out_dim, group_num, f, dtype, in_dim):
+    """CondEncoder BasicBlock (models/cond_encoder.py:33-69) on a phase-major
+    s2d tensor.  flax nn.GroupNorm eps (1e-6) reproduced."""
+    eps = 1e-6
+    h = s2d_conv(x, p["conv1"], f, None, dtype)
+    h = gn_act_s2d(
+        h, p["gn1"]["scale"], p["gn1"]["bias"],
+        _cond_groups(group_num, mid_dim), f, eps, act="relu",
+    )
+    h = s2d_conv(h, p["conv2"], f, None, dtype)
+    h = gn_act_s2d(
+        h, p["gn2"]["scale"], p["gn2"]["bias"],
+        _cond_groups(group_num, out_dim), f, eps,
+    )
+    if in_dim != out_dim:
+        idn = s2d_conv(x, p["id_conv"], f, None, dtype)
+        idn = gn_act_s2d(
+            idn, p["id_gn"]["scale"], p["id_gn"]["bias"],
+            _cond_groups(group_num, out_dim), f, eps,
+        )
+    else:
+        idn = x
+    return jnp.maximum(h + idn, 0.0).astype(h.dtype)
+
+
+def encode_cond_s2d(cond_params, num_blocks, base_dim, group_num, cond, dtype, f=2):
+    """CondEncoder (models/cond_encoder.py:76-103) with narrow-channel blocks
+    executed in s2d layout.
+
+    Blocks whose output channels underfill the 128-lane VPU/MXU (C·f² ≤ 128)
+    run s2d; the inter-block 2×2 maxpool collapses the phase axis for free
+    (phase_max_collapse), handing the next block a normal-layout tensor.
+    Wide blocks run the original flax module.  Same params, same outputs.
+    """
+    from localdiffusion_tpu.models.cond_encoder import BasicBlock
+
+    b = base_dim
+    outs = [b] + [b * (2**k) for k in range(1, num_blocks)]
+    mids = [b] + outs[:-1]
+    x = cond.astype(dtype)
+    in_s2d = False
+    for i in range(num_blocks):
+        p = cond_params[f"block{i + 1}"]
+        in_dim = x.shape[-1] // (f * f) if in_s2d else x.shape[-1]
+        if i > 0:
+            if in_s2d:
+                x = phase_max_collapse(x, f)  # pool == phase collapse
+                in_s2d = False
+            else:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        fold = (
+            outs[i] < 128  # narrow block: C_out underfills the 128 lanes
+            and x.shape[1] % f == 0
+            and x.shape[2] % f == 0
+            and x.shape[1] // f >= 8
+        )
+        if fold:
+            x = space_to_depth(x, f)
+            x = basic_block_s2d(x, p, mids[i], outs[i], group_num, f, dtype, in_dim)
+            in_s2d = True
+        else:
+            x = BasicBlock(mids[i], outs[i], group_num, dtype).apply(
+                {"params": p}, x
+            )
+            in_s2d = False
+    if in_s2d:
+        x = depth_to_space(x, f)
+    return x
 
 
 def rmsnorm_s2d(x5, g, dtype):
@@ -430,12 +543,15 @@ def apply_unet_s2d(
     x = attn_mod(True).apply({"params": p["mid_attn"]}, x) + x
     x = ResnetBlock(mid_dim, groups, dtype=dtype).apply({"params": p["mid_block2"]}, x, t)
     if cond_feat is None:
-        cond_feat = CondEncoder(
-            num_blocks=cfg.cond_num_blocks,
-            base_dim=cfg.cond_base_dim,
-            group_num=cfg.cond_group_num,
-            dtype=dtype,
-        ).apply({"params": p["cond_model"]}, cond.astype(dtype))
+        cond_feat = encode_cond_s2d(
+            p["cond_model"],
+            cfg.cond_num_blocks,
+            cfg.cond_base_dim,
+            cfg.cond_group_num,
+            cond,
+            dtype,
+            f=f,
+        )
     x = jnp.concatenate([x, cond_feat.astype(dtype)], axis=-1)
     x = ResnetBlock(mid_dim, groups, dtype=dtype).apply({"params": p["conv_fusion"]}, x, t)
 

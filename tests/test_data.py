@@ -15,6 +15,7 @@ from localdiffusion_tpu.data import (
     synthetic_digits,
 )
 from localdiffusion_tpu.data.brats import _center_crop_np
+from localdiffusion_tpu.config import DataConfig
 
 REF_MNIST = "/root/reference/MNIST/raw"
 
@@ -231,3 +232,40 @@ def test_brats_seg_dataset(tmp_path):
     img, seg = seg_ds[0]
     assert seg.shape == (32, 32, 1)
     assert set(np.unique(seg)) <= {0.0, 1.0}  # binarized
+
+
+def test_brats_volume_slice_filters():
+    """Per-volume slice selection semantics (reference data.py:467-494)."""
+    from localdiffusion_tpu.data.brats import BRATSVolumeDataset
+
+    cfg = DataConfig(name="brats", mean_t1=0.0, std_t1=1.0,
+                     mean_flair=0.0, std_flair=1.0)
+    d, h, w = 130, 16, 16
+    t1 = np.random.RandomState(0).rand(d, h, w).astype(np.float32)
+    flair = np.random.RandomState(1).rand(d, h, w).astype(np.float32)
+    seg = np.zeros((d, h, w), np.float32)
+    for s in (60, 65, 70, 75):  # four tumor slices in the 60-120/5 range
+        seg[s, 4:8, 4:8] = 1.0
+
+    rng_len = len(range(60, 120, 5))  # 12 slices in range
+    ds_all = BRATSVolumeDataset(cfg, [t1], [flair], [seg], crop=16)
+    assert len(ds_all) == rng_len
+
+    ds_healthy = BRATSVolumeDataset(cfg, [t1], [flair], [seg], crop=16,
+                                    slice_filter="healthy")
+    assert len(ds_healthy) == rng_len - 4
+
+    ds_tumor = BRATSVolumeDataset(cfg, [t1], [flair], [seg], crop=16,
+                                  slice_filter="tumor_capped")
+    assert len(ds_tumor) == 2  # capped at 2 per volume (data.py:483-484)
+    _, _, s0 = ds_tumor[0]
+    assert s0.max() > 0
+
+    ds_norm = BRATSVolumeDataset(cfg, [t1], [flair], [seg], crop=16,
+                                 slice_filter="healthy_capped")
+    assert len(ds_norm) == 2
+    _, _, sn = ds_norm[0]
+    assert sn.max() == 0
+
+    single = BRATSVolumeDataset.single_volume(cfg, t1, flair, seg, crop=16)
+    assert len(single) == d  # every slice, unfiltered (SingleMedDataset)

@@ -213,3 +213,21 @@ def test_exact_s2d_under_data_parallel_mesh():
     with mesh:
         got = fn(params, x, cond, t)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_cond_encoder_s2d_parity():
+    """encode_cond_s2d == CondEncoder.apply (narrow blocks folded, wide ones
+    on the original module, maxpool == phase collapse)."""
+    from localdiffusion_tpu.models.cond_encoder import CondEncoder
+    from localdiffusion_tpu.models.unet_s2d import encode_cond_s2d
+
+    for num_blocks, size in ((4, 32), (3, 16)):
+        enc = CondEncoder(num_blocks=num_blocks, base_dim=32, group_num=16)
+        cond = jax.random.normal(jax.random.PRNGKey(1), (2, size, size, 1))
+        params = enc.init(jax.random.PRNGKey(0), cond)["params"]
+        ref = enc.apply({"params": params}, cond)
+        got = encode_cond_s2d(params, num_blocks, 32, 16, cond, jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5,
+            err_msg=f"num_blocks={num_blocks} size={size}",
+        )
