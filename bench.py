@@ -146,7 +146,7 @@ def peak_tflops_for(device_kind: str):
     return None
 
 
-def measure_tpu(batch: int = 64, timesteps: int = 50, repeats: int = 3,
+def measure_tpu(batch: int = 64, timesteps: int = 50, repeats: int = 10,
                 image_size: int = 28, four_stage: bool = False,
                 bf16: bool = False, profile_dir: str | None = None,
                 s2d: int = 1, exact_s2d: bool = False):
