@@ -83,11 +83,14 @@ class LocalDiffusionPipeline:
         hr: Optional[np.ndarray] = None,
         key=None,
         mask: Optional[np.ndarray] = None,
+        gt_region: Optional[np.ndarray] = None,
     ) -> Dict[str, np.ndarray]:
         """One batch through Stage A + Stage B.
 
         `mask` overrides the detector (the reference's manual-mask path);
         otherwise the frontend computes it (or uniform ones without one).
+        `gt_region` (binary ground-truth OOD mask, e.g. the seg label) adds
+        the region-restricted MSE metric without influencing sampling.
         """
         key = key if key is not None else jax.random.PRNGKey(0)
         scfg = self.config.sampler
@@ -148,24 +151,39 @@ class LocalDiffusionPipeline:
             result["mse"] = np.asarray(mse(out, hr_j))
             result["ssim"] = np.asarray(ssim(out, hr_j, data_range=float(self.min_max_val[1])))
             result["psnr"] = np.asarray(psnr(out, hr_j, data_range=float(self.min_max_val[1])))
+            if gt_region is not None:
+                # MSE restricted to the ground-truth OOD region: the metric
+                # that exposes hallucination — whole-image MSE is dominated
+                # by the (much larger) in-distribution area
+                m = np.asarray(gt_region, np.float32)
+                m = (m > 0).astype(np.float32)
+                denom = max(float(m.sum()), 1.0)
+                err = (np.asarray(out, np.float32) - np.asarray(hr_j, np.float32)) ** 2
+                result["mse_ood_region"] = np.asarray(float((err * m).sum() / denom))
         return result
 
     # ------------------------------------------------------------------
     def run(
-        self, pairs, key=None, save_prefix: Optional[str] = None, verbose: bool = True
+        self, pairs, key=None, save_prefix: Optional[str] = None, verbose: bool = True,
+        gt_masks=None,
     ) -> Dict[str, np.ndarray]:
         """Full evaluation loop over (hr, lr) pairs (reference test.py:180-445).
 
         Collects hr/lr/pred/mask stacks, mean MSE and mean per-image sampling
         time; optionally dumps {prefix}hr_all.npy etc. like the reference
-        (test.py:429-442).
+        (test.py:429-442).  `gt_masks` (aligned with pairs) adds the
+        OOD-region-restricted MSE.
         """
         key = key if key is not None else jax.random.PRNGKey(0)
         hrs, lrs, preds, masks, losses, times = [], [], [], [], [], []
+        region_losses = []
         fusion_times = []
         for i, (hr, lr) in enumerate(pairs):
             key, sub = jax.random.split(key)
-            r = self.translate(lr, hr=hr, key=sub)
+            gt_m = gt_masks[i] if gt_masks is not None else None
+            r = self.translate(lr, hr=hr, key=sub, gt_region=gt_m)
+            if "mse_ood_region" in r:
+                region_losses.append(float(r["mse_ood_region"]))
             hrs.append(hr)
             lrs.append(lr)
             preds.append(r["pred"])
@@ -181,9 +199,13 @@ class LocalDiffusionPipeline:
                 )
             )
             if verbose:
+                extra = (
+                    f" mse_ood={region_losses[-1]:.5f}"
+                    if "mse_ood_region" in r else ""
+                )
                 print(
-                    f"[{i}] mse={losses[-1]:.5f} ssim={float(r['ssim']):.4f} "
-                    f"time={times[-1]:.3f}s branched={bool(r['branched'])}"
+                    f"[{i}] mse={losses[-1]:.5f} ssim={float(r['ssim']):.4f}"
+                    f"{extra} time={times[-1]:.3f}s branched={bool(r['branched'])}"
                 )
         out = {
             "hr_all": np.concatenate(hrs),
@@ -194,10 +216,14 @@ class LocalDiffusionPipeline:
             "mean_mse": np.asarray(np.mean(losses)),
             "mean_time": np.asarray(np.mean(times[1:]) if len(times) > 1 else times[0]),
         }
+        if region_losses:
+            out["mean_mse_ood_region"] = np.asarray(np.mean(region_losses))
         if save_prefix is not None:
             for name in ("hr_all", "lr_all", "pred_all", "ad_masks", "fusion_time"):
                 np.save(f"{save_prefix}{name}.npy", out[name])
         if verbose:
             print(f"Test loss: {float(out['mean_mse']):.4f}")
+            if "mean_mse_ood_region" in out:
+                print(f"OOD-region loss: {float(out['mean_mse_ood_region']):.4f}")
             print(f"Average sampling time: {float(out['mean_time']):.4f}")
         return out

@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--pixel-q", type=float, default=0.999,
                     help="normal-pixel quantile for the fitted ladder threshold")
+    ap.add_argument("--rel-rung", default="max-1std",
+                    help="relative rung used for far-above-gate maps "
+                         "(e.g. max-1std, max-2std; higher-res inputs "
+                         "produce sharper score peaks and may need a looser "
+                         "rung — max-1std under-segmented at 256px)")
     ap.add_argument("--no-ladder", action="store_true",
                     help="skip self-calibrating the threshold ladder")
     args = ap.parse_args()
@@ -121,7 +126,7 @@ def main():
         # coreset-sampled from — nonzero because the coreset keeps 10%)
         maps = [np.asarray(pc(jnp.asarray(x))["anomaly_map"], np.float32)
                 for x in batches]
-        ladder = fit_ladder(maps, pixel_q=args.pixel_q)
+        ladder = fit_ladder(maps, pixel_q=args.pixel_q, rel_rung=args.rel_rung)
         ladder_out = os.path.splitext(out)[0] + "_ladder.json"
         save_ladder(ladder, ladder_out)
         print(f"saved fitted ladder {ladder_out}: gate={ladder.gate:.4f} "

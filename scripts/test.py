@@ -247,20 +247,28 @@ def main():
         import jax.numpy as jnp
 
         key = jax.random.PRNGKey(10)
-        losses, times = [], []
+        losses, times, region = [], [], []
         for i in range(len(hr)):
             key, sub = jax.random.split(key)
             m = (seg_pairs[i : i + 1] > 0).astype(np.float32)
-            r = pipe.translate(lr[i : i + 1], hr=hr[i : i + 1], key=sub, mask=m)
+            r = pipe.translate(lr[i : i + 1], hr=hr[i : i + 1], key=sub, mask=m,
+                               gt_region=m)
             losses.append(float(r["mse"]))
             times.append(float(r["time"]))
-            print(f"[{i}] mse={losses[-1]:.5f} time={times[-1]:.3f}s "
-                  f"branched={bool(r['branched'])}")
+            region.append(float(r["mse_ood_region"]))
+            print(f"[{i}] mse={losses[-1]:.5f} mse_ood={region[-1]:.5f} "
+                  f"time={times[-1]:.3f}s branched={bool(r['branched'])}")
         print(f"Test loss: {np.mean(losses):.4f}")
+        print(f"OOD-region loss: {np.mean(region):.4f}")
         print(f"Average sampling time: {np.mean(times[1:] if len(times) > 1 else times):.4f}")
         return
     pairs = [(hr[i : i + 1], lr[i : i + 1]) for i in range(len(hr))]
-    out = pipe.run(pairs, key=jax.random.PRNGKey(10), save_prefix=args.save_prefix)
+    gt_masks = (
+        [seg_pairs[i : i + 1] for i in range(len(hr))]
+        if seg_pairs is not None else None
+    )
+    out = pipe.run(pairs, key=jax.random.PRNGKey(10), save_prefix=args.save_prefix,
+                   gt_masks=gt_masks)
     if cfg.sampler.classifier:
         # the reference's fusion_time.npy diagnostic (ddpm.py:902-903)
         np.save("fusion_time.npy", out["fusion_time"])
