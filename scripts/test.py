@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--max-images", type=int, default=100)
     ap.add_argument("--save-prefix", default=None,
                     help="dump hr_all/lr_all/pred_all/ad_masks npys with this prefix")
+    ap.add_argument("--params-npz", default=None,
+                    help="load EMA params from a slim npz snapshot "
+                         "(utils/params_io.py) instead of an Orbax milestone")
     args = ap.parse_args()
 
     from scripts.train import load_config
@@ -56,13 +59,21 @@ def main():
         cfg.model, cfg.diffusion, dtype=getattr(_jnp, cfg.train.compute_dtype)
     )
     trainer = Trainer(gd, cfg.train)
-    try:
-        state = trainer.load(args.milestone)
-        print(f"loaded milestone {args.milestone}")
-    except Exception as e:
-        print(f"WARNING: no checkpoint ({e}); using random init")
-        state = trainer.init_state(jax.random.PRNGKey(0))
-    params = state.ema_params  # EMA model for eval (reference test.py:144-147)
+    if args.params_npz:
+        from localdiffusion_tpu.utils.params_io import load_params_npz
+
+        template = gd.init_params(jax.random.PRNGKey(0))
+        params = load_params_npz(args.params_npz, template)
+        print(f"loaded params snapshot {args.params_npz}")
+    else:
+        try:
+            state = trainer.load(args.milestone)
+            print(f"loaded milestone {args.milestone}")
+        except Exception as e:
+            print(f"WARNING: no checkpoint ({e}); using random init")
+            state = trainer.init_state(jax.random.PRNGKey(0))
+        # EMA model for eval (reference test.py:144-147)
+        params = state.ema_params
 
     # OOD-test dataset: the anomalous digit class (reference test.py:66-89)
     seg_pairs = None
