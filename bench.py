@@ -149,7 +149,7 @@ def peak_tflops_for(device_kind: str):
 def measure_tpu(batch: int = 64, timesteps: int = 50, repeats: int = 10,
                 image_size: int = 28, four_stage: bool = False,
                 bf16: bool = False, profile_dir: str | None = None,
-                s2d: int = 1, exact_s2d: bool = False):
+                s2d: int = 1, exact_s2d: bool = False, s2d_stages: int = 0):
     """Branched local-diffusion sampling throughput on the attached chip."""
     import jax
     import jax.numpy as jnp
@@ -170,6 +170,7 @@ def measure_tpu(batch: int = 64, timesteps: int = 50, repeats: int = 10,
             full_attn=(False, False, False, True), channels=1,
             cond_encoder_depth="deep", stem_space_to_depth=s2d,
             exact_layout_s2d=2 if exact_s2d else 1,
+            exact_layout_s2d_stages=s2d_stages,
         )
     else:
         from __graft_entry__ import _flagship
@@ -242,6 +243,9 @@ def main():
     ap.add_argument("--timesteps", type=int, default=50)
     ap.add_argument("--mri256", action="store_true",
                     help="additionally measure the 256px 4-stage MRI scale")
+    ap.add_argument("--s2d-stages-sweep", action="store_true",
+                    help="with --mri256: also measure the exact-s2d chain at "
+                         "explicit fold depths 1 and 2")
     ap.add_argument("--bf16", action=argparse.BooleanOptionalAction, default=True,
                     help="bf16 compute, params stay f32 (quality-identical "
                          "to f32 on the flagship: mse 0.16324 vs 0.16324 on "
@@ -310,7 +314,9 @@ def main():
             if peak and args.bf16:
                 record["mfu_256px"] = round(tflops256 / peak, 4)
         # exact s2d layout execution of the SAME faithful architecture
-        # (models/unet_s2d.py: same params, same outputs, no retraining)
+        # (models/unet_s2d.py: same params, same outputs, no retraining);
+        # auto fold depth (exact_layout_s2d_stages=0 → every lane-starved
+        # leading level, 2 for this arch)
         _, ips_exact, _, tflops_exact = measure_tpu(
             batch=4, timesteps=args.timesteps, image_size=256,
             four_stage=True, bf16=args.bf16, exact_s2d=True,
@@ -318,6 +324,16 @@ def main():
         record["images_per_sec_256px_exact_s2d"] = round(ips_exact, 3)
         if tflops_exact is not None and peak and args.bf16:
             record["mfu_256px_exact_s2d"] = round(tflops_exact / peak, 4)
+        if args.s2d_stages_sweep:
+            for st in (1, 2):
+                _, ips_st, _, _ = measure_tpu(
+                    batch=4, timesteps=args.timesteps, image_size=256,
+                    four_stage=True, bf16=args.bf16, exact_s2d=True,
+                    s2d_stages=st,
+                )
+                record[f"images_per_sec_256px_exact_s2d_stages{st}"] = round(
+                    ips_st, 3
+                )
         # TPU-first s2d-stem variant (different architecture, needs
         # retraining — see ModelConfig.stem_space_to_depth)
         _, ips_s2d, _, tflops_s2d = measure_tpu(

@@ -76,6 +76,13 @@ class ModelConfig:
     # input shape, so patch-parallel tiles resolve independently);
     # 1 = off; 2 = fold 2×2 blocks.
     exact_layout_s2d: int = 0
+    # How many leading UNet resolution levels run in the exact s2d layout.
+    # 1 = only the full-res stage (round-2 behavior).  2 also folds the next
+    # stage (e.g. C=32@128² of the 4-stage 256px arch — in_out[1], which
+    # underfills the 128 TPU lanes just like stage 0); boundaries cross via
+    # cheap half/quarter-res s2d copies.  0 = auto (all levels whose
+    # channel width underfills the 128 lanes, capped at num_stages-1).
+    exact_layout_s2d_stages: int = 0
 
     def __post_init__(self):
         if len(self.full_attn) != len(self.dim_mults):
@@ -91,6 +98,24 @@ class ModelConfig:
             )
         if self.exact_layout_s2d < 0:
             raise ValueError("exact_layout_s2d: 0=auto, 1=off, >=2=fold factor")
+        if self.exact_layout_s2d_stages < 0:
+            raise ValueError("exact_layout_s2d_stages: 0=auto, >=1 explicit")
+
+    def resolve_s2d_stages(self, f: int) -> int:
+        """Number of leading resolution levels the exact s2d execution folds.
+
+        auto (0) = 1: only the full-resolution stage.  Folding level 1 too
+        was MEASURED SLOWER on the 256px 4-stage arch (3.55 vs 3.82 img/s
+        on-chip, round 3): at C=32@128² the conv already runs ~5 TF/s and
+        the folded C=128@64² conv's ~22 TF/s does not recover the f²× FLOPs
+        (cost ratio 4/22 vs 1/5 ≈ 0.95 break-even on convs, and the
+        boundary copies/transition overhead tip it negative) — unlike level
+        0, where C=32@256² runs at 3.7 TF/s against 21.7 (scripts/
+        bench_convgeo.py).  Explicit values >1 remain available, capped at
+        num_stages-1."""
+        cap = max(1, len(self.dim_mults) - 1)
+        s = self.exact_layout_s2d_stages
+        return min(s, cap) if s > 0 else 1
 
     def resolve_exact_layout_s2d(self, h: int, w: int) -> int:
         """Effective s2d layout factor for an input of spatial size (h, w).
@@ -271,10 +296,19 @@ class OODConfig:
     # manual mask (the committed reference behavior, test.py:379-381):
     # left `manual_mask_cols` columns flagged OOD.
     manual_mask_cols: int = 7
+    # EXTENSION (no reference equivalent — the reference masks are raw
+    # thresholdings, test.py:260): grow detector masks by `mask_dilate`
+    # pixels of grey dilation before branching.  Under-segmenting detectors
+    # (e.g. mask-IoU 0.45 at 256px, docs/STATUS.md) leave a halo of OOD
+    # pixels un-branched; dilation trades a little extra branched area for
+    # recovering them.  0 = off (exact reference semantics).
+    mask_dilate: int = 0
 
     def __post_init__(self):
         if self.detector not in ("patchcore", "seg", "manual", "none"):
             raise ValueError(f"unknown ood detector {self.detector}")
+        if self.mask_dilate < 0:
+            raise ValueError("mask_dilate must be >= 0")
 
 
 @dataclass(frozen=True)

@@ -453,14 +453,19 @@ def apply_unet_s2d(
     x_self_cond: Optional[jnp.ndarray] = None,
     dtype: Dtype = jnp.float32,
     factor: Optional[int] = None,
+    s2d_stages: Optional[int] = None,
 ) -> jnp.ndarray:
-    """UNet.apply (models/unet.py) with the full-resolution stage executed in
-    s2d layout.  Consumes the unmodified UNet param tree; interior stages run
-    the original flax modules on their param subtrees.
+    """UNet.apply (models/unet.py) with the leading resolution level(s)
+    executed in s2d layout (`exact_layout_s2d_stages` levels; level 0
+    always).  Consumes the unmodified UNet param tree; unfolded interior
+    stages run the original flax modules on their param subtrees.
     """
     p = variables["params"]
     f = factor if factor is not None else cfg.resolve_exact_layout_s2d(
         x.shape[1], x.shape[2]
+    )
+    n_fold = (
+        s2d_stages if s2d_stages is not None else cfg.resolve_s2d_stages(f)
     )
     assert f > 1 and cfg.stem_space_to_depth == 1, (
         "exact_layout_s2d applies to the faithful (stem_space_to_depth=1) arch"
@@ -471,6 +476,7 @@ def apply_unet_s2d(
     in_out = list(zip(dims[:-1], dims[1:]))
     num_stages = len(in_out)
     assert num_stages >= 2, "exact_layout_s2d needs ≥2 stages"
+    n_fold = max(1, min(n_fold, num_stages - 1))
     groups = cfg.resnet_block_groups
     factor = cfg.downsample_factor * f
     assert x.shape[1] % factor == 0 and x.shape[2] % factor == 0, (
@@ -483,8 +489,9 @@ def apply_unet_s2d(
             x_self_cond = jnp.zeros_like(x)
         x = jnp.concatenate([x_self_cond.astype(dtype), x], axis=-1)
 
-    x = space_to_depth(x, f)
-    x = s2d_conv(x, p["init_conv"], f, None, dtype)  # 7×7 → 5×5 s2d (f=2)
+    with jax.named_scope("s2d_init_conv"):
+        x = space_to_depth(x, f)
+        x = s2d_conv(x, p["init_conv"], f, None, dtype)  # 7×7 → 5×5 s2d (f=2)
     r = x
 
     t = TimeMlp(
@@ -503,106 +510,169 @@ def apply_unet_s2d(
 
     # ---- stage 0 (full res, s2d layout) ----
     dim0_in, dim0_out = in_out[0]
-    x = resnet_block_s2d(x, t, p["down0_block1"], dim0_in, groups, f, dtype, None)
-    skip_a = x
-    x = resnet_block_s2d(x, t, p["down0_block2"], dim0_in, groups, f, dtype, None)
-    x = (
-        _attention_s2d(
-            x, p["down0_attn"], cfg.attn_heads, cfg.attn_dim_head, f, dtype,
-            full=cfg.full_attn[0],
+    with jax.named_scope("s2d_down0"):
+        x = resnet_block_s2d(x, t, p["down0_block1"], dim0_in, groups, f, dtype, None)
+        skip_a = x
+        x = resnet_block_s2d(x, t, p["down0_block2"], dim0_in, groups, f, dtype, None)
+        x = (
+            _attention_s2d(
+                x, p["down0_attn"], cfg.attn_heads, cfg.attn_dim_head, f, dtype,
+                full=cfg.full_attn[0],
+            )
+            + x
         )
-        + x
-    )
-    skip_b = x
-    x = downsample_from_s2d(x, p["down0_down"]["conv"], f, dtype)
+        skip_b = x
+        x = downsample_from_s2d(x, p["down0_down"]["conv"], f, dtype)
 
-    # ---- interior down stages (original modules) ----
+    # ---- interior down stages ----
+    # levels 1..n_fold-1 also execute in s2d layout (exact_layout_s2d_stages):
+    # their C·f² channels still fit the 128 TPU lanes, so the same
+    # kernel-transform math applies one level down.  Boundaries between a
+    # folded and an unfolded level cross via a single s2d/d2s copy of a
+    # half/quarter-res tensor (~µs — unlike the per-conv layout copies the
+    # fold removes).  Skips of folded levels stay phase-major; the up path
+    # concatenates them segment-wise via cin_sizes.
     skips: List[jnp.ndarray] = []
     for i in range(1, num_stages):
         dim_in, dim_out = in_out[i]
         is_last = i >= num_stages - 1
-        x = ResnetBlock(dim_in, groups, dtype=dtype).apply(
-            {"params": p[f"down{i}_block1"]}, x, t
-        )
-        skips.append(x)
-        x = ResnetBlock(dim_in, groups, dtype=dtype).apply(
-            {"params": p[f"down{i}_block2"]}, x, t
-        )
-        x = attn_mod(cfg.full_attn[i]).apply({"params": p[f"down{i}_attn"]}, x) + x
-        skips.append(x)
-        if not is_last:
-            x = Downsample(dim_out, dtype).apply({"params": p[f"down{i}_down"]}, x)
-        else:
-            x = nn.Conv(dim_out, (3, 3), padding=1, dtype=dtype).apply(
-                {"params": p[f"down{i}_down"]}, x
+        folded = i < n_fold
+        with jax.named_scope(f"int_down{i}"):
+            if folded:
+                x = space_to_depth(x, f)
+                x = resnet_block_s2d(
+                    x, t, p[f"down{i}_block1"], dim_in, groups, f, dtype, None
+                )
+                skips.append(x)
+                x = resnet_block_s2d(
+                    x, t, p[f"down{i}_block2"], dim_in, groups, f, dtype, None
+                )
+                x = (
+                    _attention_s2d(
+                        x, p[f"down{i}_attn"], cfg.attn_heads, cfg.attn_dim_head,
+                        f, dtype, full=cfg.full_attn[i],
+                    )
+                    + x
+                )
+                skips.append(x)
+                # n_fold ≤ num_stages-1 ⇒ a folded stage is never the last
+                x = downsample_from_s2d(x, p[f"down{i}_down"]["conv"], f, dtype)
+                continue
+            x = ResnetBlock(dim_in, groups, dtype=dtype).apply(
+                {"params": p[f"down{i}_block1"]}, x, t
             )
+            skips.append(x)
+            x = ResnetBlock(dim_in, groups, dtype=dtype).apply(
+                {"params": p[f"down{i}_block2"]}, x, t
+            )
+            x = attn_mod(cfg.full_attn[i]).apply({"params": p[f"down{i}_attn"]}, x) + x
+            skips.append(x)
+            if not is_last:
+                x = Downsample(dim_out, dtype).apply({"params": p[f"down{i}_down"]}, x)
+            else:
+                x = nn.Conv(dim_out, (3, 3), padding=1, dtype=dtype).apply(
+                    {"params": p[f"down{i}_down"]}, x
+                )
 
     # ---- mid + bottleneck condition fusion ----
     mid_dim = dims[-1]
-    x = ResnetBlock(mid_dim, groups, dtype=dtype).apply({"params": p["mid_block1"]}, x, t)
-    x = attn_mod(True).apply({"params": p["mid_attn"]}, x) + x
-    x = ResnetBlock(mid_dim, groups, dtype=dtype).apply({"params": p["mid_block2"]}, x, t)
+    with jax.named_scope("mid"):
+        x = ResnetBlock(mid_dim, groups, dtype=dtype).apply({"params": p["mid_block1"]}, x, t)
+        x = attn_mod(True).apply({"params": p["mid_attn"]}, x) + x
+        x = ResnetBlock(mid_dim, groups, dtype=dtype).apply({"params": p["mid_block2"]}, x, t)
     if cond_feat is None:
-        cond_feat = encode_cond_s2d(
-            p["cond_model"],
-            cfg.cond_num_blocks,
-            cfg.cond_base_dim,
-            cfg.cond_group_num,
-            cond,
-            dtype,
-            f=f,
-        )
-    x = jnp.concatenate([x, cond_feat.astype(dtype)], axis=-1)
-    x = ResnetBlock(mid_dim, groups, dtype=dtype).apply({"params": p["conv_fusion"]}, x, t)
+        with jax.named_scope("cond_encoder"):
+            cond_feat = encode_cond_s2d(
+                p["cond_model"],
+                cfg.cond_num_blocks,
+                cfg.cond_base_dim,
+                cfg.cond_group_num,
+                cond,
+                dtype,
+                f=f,
+            )
+    with jax.named_scope("mid_fusion"):
+        x = jnp.concatenate([x, cond_feat.astype(dtype)], axis=-1)
+        x = ResnetBlock(mid_dim, groups, dtype=dtype).apply({"params": p["conv_fusion"]}, x, t)
 
-    # ---- interior up stages (original modules) ----
+    # ---- interior up stages ----
     rev = list(reversed(in_out))
     for j in range(num_stages - 1):
         dim_in, dim_out = rev[j]
-        x = jnp.concatenate([x, skips.pop()], axis=-1)
-        x = ResnetBlock(dim_out, groups, dtype=dtype).apply(
-            {"params": p[f"up{j}_block1"]}, x, t
-        )
-        x = jnp.concatenate([x, skips.pop()], axis=-1)
-        x = ResnetBlock(dim_out, groups, dtype=dtype).apply(
-            {"params": p[f"up{j}_block2"]}, x, t
-        )
-        stage = num_stages - 1 - j
-        x = attn_mod(cfg.full_attn[stage]).apply({"params": p[f"up{j}_attn"]}, x) + x
-        if j < num_stages - 2:
-            x = Upsample(dim_in, dtype).apply({"params": p[f"up{j}_up"]}, x)
-        else:
-            # the Upsample that returns to full resolution: fuse nearest-×f
-            # + conv3×3 into one conv straight into the s2d layout
-            x = upsample_to_s2d(x, p[f"up{j}_up"]["conv"], f, dtype)
+        L = num_stages - 1 - j  # resolution level of this iteration's blocks
+        folded = L < n_fold
+        with jax.named_scope(f"int_up{j}"):
+            if folded:
+                # x entered via upsample_to_s2d (per-phase channels dim_out);
+                # the popped skips are stage-L down skips kept phase-major
+                # (per-phase channels dim_in)
+                x = jnp.concatenate([x, skips.pop()], axis=-1)
+                x = resnet_block_s2d(
+                    x, t, p[f"up{j}_block1"], dim_out, groups, f, dtype,
+                    [dim_out, dim_in],
+                )
+                x = jnp.concatenate([x, skips.pop()], axis=-1)
+                x = resnet_block_s2d(
+                    x, t, p[f"up{j}_block2"], dim_out, groups, f, dtype,
+                    [dim_out, dim_in],
+                )
+                x = (
+                    _attention_s2d(
+                        x, p[f"up{j}_attn"], cfg.attn_heads, cfg.attn_dim_head,
+                        f, dtype, full=cfg.full_attn[L],
+                    )
+                    + x
+                )
+            else:
+                x = jnp.concatenate([x, skips.pop()], axis=-1)
+                x = ResnetBlock(dim_out, groups, dtype=dtype).apply(
+                    {"params": p[f"up{j}_block1"]}, x, t
+                )
+                x = jnp.concatenate([x, skips.pop()], axis=-1)
+                x = ResnetBlock(dim_out, groups, dtype=dtype).apply(
+                    {"params": p[f"up{j}_block2"]}, x, t
+                )
+                x = attn_mod(cfg.full_attn[L]).apply({"params": p[f"up{j}_attn"]}, x) + x
+            # exit toward level L-1: fuse nearest-×f + conv3×3 into one conv
+            # straight into the target's s2d layout when the target is folded
+            # (level 0 always is); a folded source first collapses its own
+            # phase axis (one cheap half-res copy)
+            if (L - 1) < n_fold:
+                if folded:
+                    x = depth_to_space(x, f)
+                x = upsample_to_s2d(x, p[f"up{j}_up"]["conv"], f, dtype)
+            else:
+                x = Upsample(dim_in, dtype).apply({"params": p[f"up{j}_up"]}, x)
 
     # ---- last up stage (full res, s2d layout) ----
     j = num_stages - 1
     dim_in, dim_out = rev[j]  # == in_out[0]
     up_in_c = dims[1]  # channels delivered by the j-1 Upsample
-    x = jnp.concatenate([x, skip_b], axis=-1)
-    x = resnet_block_s2d(
-        x, t, p[f"up{j}_block1"], dim_out, groups, f, dtype, [up_in_c, dim0_in]
-    )
-    x = jnp.concatenate([x, skip_a], axis=-1)
-    x = resnet_block_s2d(
-        x, t, p[f"up{j}_block2"], dim_out, groups, f, dtype, [dim_out, dim0_in]
-    )
-    x = (
-        _attention_s2d(
-            x, p[f"up{j}_attn"], cfg.attn_heads, cfg.attn_dim_head, f, dtype,
-            full=cfg.full_attn[0],
+    with jax.named_scope("s2d_up_last"):
+        x = jnp.concatenate([x, skip_b], axis=-1)
+        x = resnet_block_s2d(
+            x, t, p[f"up{j}_block1"], dim_out, groups, f, dtype, [up_in_c, dim0_in]
         )
-        + x
-    )
-    x = s2d_conv(x, p[f"up{j}_up"], f, None, dtype)  # is_last: plain conv3×3
+        x = jnp.concatenate([x, skip_a], axis=-1)
+        x = resnet_block_s2d(
+            x, t, p[f"up{j}_block2"], dim_out, groups, f, dtype, [dim_out, dim0_in]
+        )
+        x = (
+            _attention_s2d(
+                x, p[f"up{j}_attn"], cfg.attn_heads, cfg.attn_dim_head, f, dtype,
+                full=cfg.full_attn[0],
+            )
+            + x
+        )
+        x = s2d_conv(x, p[f"up{j}_up"], f, None, dtype)  # is_last: plain conv3×3
 
     # ---- final ----
-    x = jnp.concatenate([x, r], axis=-1)
-    x = resnet_block_s2d(
-        x, t, p["final_res_block"], dim, groups, f, dtype, [dim_in, init_dim]
-    )
-    out = s2d_matmul_1x1(
-        x.astype(jnp.float32), p["final_conv"], f, None, jnp.float32
-    )
+    with jax.named_scope("s2d_final"):
+        x = jnp.concatenate([x, r], axis=-1)
+        x = resnet_block_s2d(
+            x, t, p["final_res_block"], dim, groups, f, dtype, [dim_in, init_dim]
+        )
+        out = s2d_matmul_1x1(
+            x.astype(jnp.float32), p["final_conv"], f, None, jnp.float32
+        )
     return depth_to_space(out, f)

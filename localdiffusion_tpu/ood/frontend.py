@@ -19,6 +19,7 @@ import os
 from localdiffusion_tpu.config import Config
 from localdiffusion_tpu.ood.patchcore import PatchCore
 from localdiffusion_tpu.ood.thresholds import (
+    dilate_mask,
     ladder_for,
     load_ladder,
     manual_mask,
@@ -113,6 +114,10 @@ class OODFrontend:
             logits = self.seg_apply(jnp.asarray(lr))
             probs = jax.nn.sigmoid(logits)
             binary = (np.asarray(probs) > 0.5).astype(np.float32)
+            if cfg.ood.mask_dilate > 0:
+                binary = np.stack(
+                    [dilate_mask(m, cfg.ood.mask_dilate) for m in binary]
+                )
             return binary, binary.copy(), np.asarray(probs)
 
         # patchcore
@@ -128,5 +133,7 @@ class OODFrontend:
         else:
             name = "mvtec" if "mvtec" in cfg.data.name else cfg.data.name
             ladder = ladder_for(name, self._ladder_variant())
-        mask_pred, binary = soft_mask_from_map(amap_np, ladder)
+        mask_pred, binary = soft_mask_from_map(
+            amap_np, ladder, dilate=cfg.ood.mask_dilate
+        )
         return mask_pred, binary, amap_np

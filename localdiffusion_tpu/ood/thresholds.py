@@ -136,8 +136,22 @@ def _soft_mask_single(
     return (mask**2).astype(np.float32), binary
 
 
+def dilate_mask(m: np.ndarray, radius: int) -> np.ndarray:
+    """Grey dilation of one mask [H, W, 1] by `radius` pixels (iterated 3×3
+    max filter, edge-padded).  EXTENSION — the reference ships raw
+    thresholded masks (test.py:260); see OODConfig.mask_dilate."""
+    out = np.asarray(m, np.float32)
+    h, w = out.shape[:2]
+    for _ in range(int(radius)):
+        p = np.pad(out, ((1, 1), (1, 1), (0, 0)), mode="edge")
+        out = np.maximum.reduce(
+            [p[i : i + h, j : j + w] for i in range(3) for j in range(3)]
+        )
+    return out
+
+
 def soft_mask_from_map(
-    anomaly_map: np.ndarray, ladder: ThresholdLadder
+    anomaly_map: np.ndarray, ladder: ThresholdLadder, dilate: int = 0
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(mask_pred, binary_mask) from an anomaly map [B, H, W, 1].
 
@@ -151,6 +165,13 @@ def soft_mask_from_map(
     """
     amap = np.asarray(anomaly_map, np.float32)
     masks, binaries = zip(*(_soft_mask_single(a, ladder) for a in amap))
+    masks, binaries = list(masks), list(binaries)
+    if dilate > 0:
+        for i in range(len(masks)):
+            if binaries[i].min() >= 1.0:
+                continue  # uniform-ones bypass mask: leave untouched
+            masks[i] = dilate_mask(masks[i], dilate)
+            binaries[i] = dilate_mask(binaries[i], dilate)
     return np.stack(masks), np.stack(binaries)
 
 

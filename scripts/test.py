@@ -34,15 +34,22 @@ def main():
     ap.add_argument("--params-npz", default=None,
                     help="load EMA params from a slim npz snapshot "
                          "(utils/params_io.py) instead of an Orbax milestone")
+    ap.add_argument("--mask-dilate", type=int, default=None,
+                    help="override ood.mask_dilate (mask-growing EXTENSION; "
+                         "0 = exact reference semantics)")
     args = ap.parse_args()
 
     from scripts.train import load_config
 
     cfg = load_config(args.config)
-    if args.detector:
-        import dataclasses
+    import dataclasses
 
+    if args.detector:
         cfg = cfg.replace(ood=dataclasses.replace(cfg.ood, detector=args.detector))
+    if args.mask_dilate is not None:
+        cfg = cfg.replace(
+            ood=dataclasses.replace(cfg.ood, mask_dilate=args.mask_dilate)
+        )
 
     from localdiffusion_tpu.data import MNISTDataset, load_mnist_arrays, synthetic_digits
     from localdiffusion_tpu.diffusion.gaussian import GaussianDiffusion

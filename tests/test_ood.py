@@ -284,3 +284,57 @@ def test_manual_mask_matches_reference_override():
     m = manual_mask((1, 28, 28, 1), 7)
     assert m[:, :, :7, :].min() == 1.0
     assert m[:, :, 7:, :].max() == 0.0
+
+
+def test_dilate_mask_grows_square():
+    from localdiffusion_tpu.ood.thresholds import dilate_mask
+
+    m = np.zeros((9, 9, 1), np.float32)
+    m[4, 4, 0] = 1.0
+    d1 = dilate_mask(m, 1)
+    assert d1.sum() == 9.0 and d1[3:6, 3:6].min() == 1.0  # 3×3 square
+    d2 = dilate_mask(m, 2)
+    assert d2.sum() == 25.0 and d2[2:7, 2:7].min() == 1.0  # 5×5 square
+    # grey dilation: soft values propagate as maxima
+    s = np.zeros((9, 9, 1), np.float32)
+    s[4, 4, 0] = 0.5
+    assert dilate_mask(s, 1).max() == 0.5
+    # radius 0 is the identity
+    np.testing.assert_array_equal(dilate_mask(m, 0), m)
+
+
+def test_soft_mask_dilate_extension():
+    """mask_dilate grows the detected region but leaves the uniform-ones
+    bypass mask (gate not fired) untouched — dilating the bypass signal
+    would be meaningless (reference test.py:264-266)."""
+    amap = np.zeros((2, 8, 8, 1), np.float32)
+    amap[0, 4, 4, 0] = 50.0  # single-pixel anomaly
+    amap[0, amap[0] == 0.0] = 20.0
+    amap[1] = 10.0  # below the 8to3 gate
+    base_mask, base_bin = soft_mask_from_map(amap, ladder_for("mnist", "8to3"))
+    mask, binary = soft_mask_from_map(
+        amap, ladder_for("mnist", "8to3"), dilate=1
+    )
+    assert binary[0].sum() > base_bin[0].sum()  # region grew
+    assert (binary[0] >= base_bin[0]).all()  # dilation only adds
+    assert (mask[0] >= base_mask[0]).all()
+    np.testing.assert_array_equal(binary[1], base_bin[1])  # bypass untouched
+    np.testing.assert_array_equal(mask[1], base_mask[1])
+
+
+def test_frontend_seg_mask_dilate():
+    from localdiffusion_tpu.ood.frontend import OODFrontend
+    from localdiffusion_tpu.config import DiffusionConfig
+
+    def seg_apply(x):
+        logits = jnp.full((x.shape[0], 8, 8, 1), -10.0)
+        return logits.at[:, 4, 4, 0].set(10.0)  # one positive pixel
+
+    for r, want in ((0, 1.0), (1, 9.0)):
+        cfg = Config(
+            ood=OODConfig(detector="seg", mask_dilate=r),
+            diffusion=DiffusionConfig(image_size=8, timesteps=10),
+        )
+        fe = OODFrontend(cfg, seg_apply=seg_apply)
+        mask, binary, _ = fe.detect(np.zeros((1, 8, 8, 1), np.float32))
+        assert binary.sum() == want, (r, binary.sum())

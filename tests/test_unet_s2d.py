@@ -231,3 +231,73 @@ def test_cond_encoder_s2d_parity():
             np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5,
             err_msg=f"num_blocks={num_blocks} size={size}",
         )
+
+
+@pytest.mark.parametrize("stages", [1, 2, 3])
+def test_full_forward_4stage_fold_stages(stages):
+    """Multi-level fold (exact_layout_s2d_stages): folding interior levels
+    must stay numerically exact — same params, same outputs."""
+    mcfg = ModelConfig(dim=8, dim_mults=(1, 2, 4, 8), channels=1,
+                       full_attn=(False, False, False, True))
+    model = UNet(mcfg, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 1))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 1))
+    t = jnp.asarray([3.0, 11.0])
+    params = model.init(jax.random.PRNGKey(0), x, cond, t)
+    ref = model.apply(params, x, cond, t)
+    s2d_cfg = ModelConfig(**{**mcfg.__dict__, "exact_layout_s2d": 2})
+    got = apply_unet_s2d(params, s2d_cfg, x, cond, t, s2d_stages=stages)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_full_forward_fold_stages_full_attn_interior():
+    """Folded interior level with FULL attention (token-permutation
+    invariance at level 1)."""
+    mcfg = ModelConfig(dim=8, dim_mults=(1, 2, 4), channels=1,
+                       full_attn=(False, True, True))
+    model = UNet(mcfg, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 1))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 1))
+    t = jnp.asarray([5.0])
+    params = model.init(jax.random.PRNGKey(0), x, cond, t)
+    ref = model.apply(params, x, cond, t)
+    s2d_cfg = ModelConfig(**{**mcfg.__dict__, "exact_layout_s2d": 2})
+    got = apply_unet_s2d(params, s2d_cfg, x, cond, t, s2d_stages=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_gradients_match_multi_fold():
+    """Gradients through the 2-level fold (training-path validity)."""
+    mcfg = ModelConfig(dim=8, dim_mults=(1, 2, 4), channels=1,
+                       full_attn=(False, False, True))
+    scfg = ModelConfig(**{**mcfg.__dict__, "exact_layout_s2d": 2,
+                          "exact_layout_s2d_stages": 2})
+    dcfg = DiffusionConfig(image_size=16, timesteps=10)
+    gd_ref = GaussianDiffusion(mcfg, dcfg)
+    gd_s2d = GaussianDiffusion(scfg, dcfg)
+    params = gd_ref.init_params(jax.random.PRNGKey(0))
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 1))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 1))
+    rng = jax.random.PRNGKey(3)
+    g_ref = jax.grad(lambda p: gd_ref.loss(p, rng, x0, cond))(params)
+    g_s2d = jax.grad(lambda p: gd_s2d.loss(p, rng, x0, cond))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_s2d)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=1e-5)
+
+
+def test_resolve_s2d_stages_auto():
+    """auto = 1 level (deeper folds measured slower on-chip, see
+    resolve_s2d_stages); explicit values clamp to num_stages-1."""
+    cfg = ModelConfig(dim=32, init_dim=32, dim_mults=(1, 2, 4, 8),
+                      full_attn=(False,) * 4)
+    assert cfg.resolve_s2d_stages(2) == 1
+    two = ModelConfig(dim=32, dim_mults=(1, 2, 4, 8), full_attn=(False,) * 4,
+                      exact_layout_s2d_stages=2)
+    assert two.resolve_s2d_stages(2) == 2
+    explicit = ModelConfig(dim=32, dim_mults=(1, 2), full_attn=(False, False),
+                           exact_layout_s2d_stages=5)
+    assert explicit.resolve_s2d_stages(2) == 1  # clamped to num_stages-1
