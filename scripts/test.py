@@ -218,6 +218,11 @@ def main():
     # 883-916): reuses the PatchCore detector as the accept/reject oracle
     classifier_gate = None
     if cfg.sampler.classifier:
+        if gd.is_ddim_sampling:
+            print("NOTE: classifier gate applies to the DDPM ancestral path "
+                  "only (reference ddim_sample has no classifier logic, "
+                  "ddpm.py:979-1075) — ignored under DDIM; set "
+                  "sampling_timesteps: null to exercise it")
         from localdiffusion_tpu.ood.classifier import ClassifierPatchCore
 
         cls_pc = frontend.patchcore if (
