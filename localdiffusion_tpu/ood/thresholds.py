@@ -170,8 +170,18 @@ def soft_mask_from_map(
         for i in range(len(masks)):
             if binaries[i].min() >= 1.0:
                 continue  # uniform-ones bypass mask: leave untouched
-            masks[i] = dilate_mask(masks[i], dilate)
-            binaries[i] = dilate_mask(binaries[i], dilate)
+            # dilate one step at a time and back off before saturation: a
+            # mask dilated to all-ones would collide with the uniform-ones
+            # bypass sentinel (pipeline.py:110) and silently flip a detected
+            # anomaly onto the PLAIN chain — the opposite of what dilation
+            # is for.
+            m, b = masks[i], binaries[i]
+            for _ in range(int(dilate)):
+                b_next = dilate_mask(b, 1)
+                if b_next.min() >= 1.0:
+                    break
+                m, b = dilate_mask(m, 1), b_next
+            masks[i], binaries[i] = m, b
     return np.stack(masks), np.stack(binaries)
 
 

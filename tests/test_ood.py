@@ -322,6 +322,23 @@ def test_soft_mask_dilate_extension():
     np.testing.assert_array_equal(mask[1], base_mask[1])
 
 
+def test_soft_mask_dilate_backs_off_before_saturation():
+    """A large detected region dilated past the image border must NOT
+    saturate to all-ones: an all-ones mask is the uniform bypass sentinel
+    (pipeline.py:110) and would silently demote the branched chain to the
+    plain chain.  Dilation stops at the last non-saturating radius."""
+    amap = np.full((1, 8, 8, 1), 20.0, np.float32)
+    amap[0, 1:7, 1:7, 0] = 50.0  # anomaly covers all but a 1-px border
+    ladder = ladder_for("mnist", "8to3")
+    base_mask, base_bin = soft_mask_from_map(amap, ladder)
+    assert base_bin.min() == 0.0  # detected, non-uniform
+    for r in (1, 3, 10):
+        mask, binary = soft_mask_from_map(amap, ladder, dilate=r)
+        assert binary.min() < 1.0, r  # never saturates to the sentinel
+        assert mask.min() < 1.0, r
+        assert binary.sum() >= base_bin.sum()  # still only grows
+
+
 def test_frontend_seg_mask_dilate():
     from localdiffusion_tpu.ood.frontend import OODFrontend
     from localdiffusion_tpu.config import DiffusionConfig
