@@ -137,9 +137,15 @@ class BRATSVolumeDataset:
       * "healthy"        — tumor-free slices only (seg slice has a single
                            unique value; reference train path data.py:467-471)
       * "tumor_capped"   — tumor slices only, at most `per_volume_cap` per
-                           volume (reference test tumor=True, data.py:473-484)
+                           volume (reference test tumor=True, data.py:473-484;
+                           note the reference's <1% OOD-proportion filter is
+                           commented out there — every tumor slice is kept)
       * "healthy_capped" — tumor-free, at most `per_volume_cap` per volume
                            (reference test tumor=False, data.py:486-493)
+
+    `total_cap` stops collection across volumes once that many slices are
+    kept — the reference's test path breaks the volume loop at
+    `self.total = 28` (data.py:464, 494-495).  None = no cap (train path).
     """
 
     def __init__(
@@ -153,6 +159,7 @@ class BRATSVolumeDataset:
         mode: str = "flair",
         slice_filter: str = "none",
         per_volume_cap: int = 2,
+        total_cap: Optional[int] = None,
     ):
         if slice_filter not in ("none", "healthy", "tumor_capped", "healthy_capped"):
             raise ValueError(f"bad slice_filter {slice_filter}")
@@ -178,6 +185,11 @@ class BRATSVolumeDataset:
                 kept += 1
                 if slice_filter.endswith("_capped") and kept >= per_volume_cap:
                     break  # reference data.py:483-484, 492-493
+            if total_cap is not None and len(self.slices) >= total_cap:
+                # reference data.py:494-495: the test path stops collecting
+                # volumes once self.total (28) slices are gathered
+                self.slices = self.slices[:total_cap]
+                break
 
     @classmethod
     def single_volume(
@@ -190,7 +202,13 @@ class BRATSVolumeDataset:
         mode: str = "flair",
     ) -> "BRATSVolumeDataset":
         """All slices of one volume, unfiltered (reference SingleMedDataset,
-        data.py:549-604)."""
+        data.py:549-604).
+
+        Deliberate deviation: the reference's SingleMedDataset returns the
+        seg slice as a raw [H, W] tensor WITHOUT the center-crop applied to
+        the image modalities (data.py:601-604 never calls transform on seg,
+        unlike MedDataset data.py:563-565) — an inconsistency that breaks
+        batch stacking; here seg is cropped like everything else."""
         return cls(
             cfg,
             [t1],

@@ -269,3 +269,18 @@ def test_brats_volume_slice_filters():
 
     single = BRATSVolumeDataset.single_volume(cfg, t1, flair, seg, crop=16)
     assert len(single) == d  # every slice, unfiltered (SingleMedDataset)
+
+    # total cap across volumes: the reference test path stops at
+    # self.total = 28 slices (data.py:464, 494-495) — with 3 volumes at
+    # 2 tumor slices each and total_cap=5 the third volume is truncated
+    ds_cap = BRATSVolumeDataset(
+        cfg, [t1] * 3, [flair] * 3, [seg] * 3, crop=16,
+        slice_filter="tumor_capped", total_cap=5,
+    )
+    assert len(ds_cap) == 5
+    # and without the cap, 2 per volume × 3 volumes
+    ds_nocap = BRATSVolumeDataset(
+        cfg, [t1] * 3, [flair] * 3, [seg] * 3, crop=16,
+        slice_filter="tumor_capped",
+    )
+    assert len(ds_nocap) == 6
