@@ -118,8 +118,10 @@ class Trainer:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            from localdiffusion_tpu.parallel.multihost import put_tree
+
             rep = NamedSharding(self.mesh, P())
-            state = jax.device_put(state, rep)
+            state = put_tree(state, rep)
         return state
 
     # ------------------------------------------------------------------
@@ -133,6 +135,32 @@ class Trainer:
         rep = NamedSharding(self.mesh, P())
         batch_sh = NamedSharding(self.mesh, P("data"))
         return rep, batch_sh
+
+    def put_batch(self, *arrays):
+        """Place host batch arrays for the jitted steps.
+
+        Single-host this is a no-op conversion (jit's in_shardings handle
+        placement); multi-host it assembles global arrays sharded on 'data'
+        from the host-replicated batch (parallel/multihost.py contract).
+        """
+        import jax.numpy as jnp
+
+        from localdiffusion_tpu.parallel.multihost import is_multiprocess, put_tree
+
+        if self.mesh is None or not is_multiprocess():
+            return tuple(jnp.asarray(a) for a in arrays)
+        _, batch_sh = self._shardings()
+        return tuple(put_tree(a, batch_sh) for a in arrays)
+
+    def _put_rep(self, x):
+        """Replicate a host value (rng key, scalar) across the mesh —
+        multihost-safe."""
+        from localdiffusion_tpu.parallel.multihost import is_multiprocess, put_tree
+
+        if self.mesh is None or not is_multiprocess():
+            return x
+        rep, _ = self._shardings()
+        return put_tree(x, rep)
 
     def _get(self, name, builder):
         if name not in self._compiled:
@@ -246,17 +274,23 @@ class Trainer:
         grad_acc = jax.tree_util.tree_map(jnp.zeros_like, state.params)
         loss_acc = jnp.zeros(())
         scale = jnp.asarray(1.0 / n, jnp.float32)
+        # grad_acc = zeros_like(params) already carries params' (global)
+        # sharding; only the fresh host scalar needs multihost placement
+        loss_acc = self._put_rep(loss_acc)
         for i, (hr, lr) in enumerate(batches):
             rng, sub = jax.random.split(rng)
+            hr_g, lr_g = self.put_batch(hr, lr)
             grad_acc, loss_acc = accum(
-                state.params, grad_acc, loss_acc, jnp.asarray(hr), jnp.asarray(lr), sub, scale
+                state.params, grad_acc, loss_acc, hr_g, lr_g,
+                self._put_rep(sub), scale
             )
         state = apply(state, grad_acc)
         return state, float(loss_acc)
 
     def train_batch_step(self, state, hr, lr, rng):
         step = self.train_step_fn()
-        state, loss = step(state, jnp.asarray(hr), jnp.asarray(lr), rng)
+        hr_g, lr_g = self.put_batch(hr, lr)
+        state, loss = step(state, hr_g, lr_g, self._put_rep(rng))
         return state, float(loss)
 
     # ------------------------------------------------------------------
@@ -346,7 +380,8 @@ class Trainer:
             return jax.jit(fn)
 
         fn = self._get(f"eval_sampler_{min_max_val}", build)
-        return float(fn(state.ema_params, jnp.asarray(hr), jnp.asarray(lr), key))
+        hr_g, lr_g = self.put_batch(hr, lr)
+        return float(fn(state.ema_params, hr_g, lr_g, self._put_rep(key)))
 
     # ------------------------------------------------------------------
     # checkpointing (reference ddpm.py:1495-1527 → Orbax)
@@ -373,7 +408,9 @@ class Trainer:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+            from localdiffusion_tpu.parallel.multihost import put_tree
+
+            state = put_tree(state, NamedSharding(self.mesh, P()))
         return state
 
 

@@ -157,7 +157,22 @@ def main():
         "recovery; the reference's recovery is manual Trainer.load, "
         "SURVEY.md §5.3)",
     )
+    # multi-host launch (one process per host, same command on every host;
+    # the reference's counterpart is the SGE/Accelerate DDP launch,
+    # train.qsub.sh:15-17).  All three default to auto-detection on TPU
+    # pods; on other clusters pass them explicitly.
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of rank 0 (multi-host only)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
+
+    from localdiffusion_tpu.parallel.multihost import (
+        init_distributed, is_primary, sync,
+    )
+
+    # must run before any device access
+    init_distributed(args.coordinator, args.num_processes, args.process_id)
 
     cfg = load_config(args.config)
     if args.results:
@@ -178,7 +193,19 @@ def main():
 
     dtype = getattr(_jnp, cfg.train.compute_dtype)
     gd = GaussianDiffusion(cfg.model, cfg.diffusion, dtype=dtype)
-    trainer = Trainer(gd, cfg.train)
+    mesh = None
+    if jax.process_count() > 1:
+        from localdiffusion_tpu.parallel.mesh import make_mesh
+
+        from localdiffusion_tpu.parallel.multihost import warmup_collectives
+
+        mesh = make_mesh(data=len(jax.devices()), patch=1)
+        warmup_collectives(mesh)
+        print(
+            f"multi-host: {jax.process_count()} processes / "
+            f"{len(jax.devices())} devices, mesh data={len(jax.devices())}"
+        )
+    trainer = Trainer(gd, cfg.train, mesh=mesh)
     state = trainer.init_state(key)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     print(f"Total number of parameters: {n_params}")
@@ -211,16 +238,21 @@ def main():
 
     os.makedirs(trainer.results_dir, exist_ok=True)
     csv_path = os.path.join(trainer.results_dir, "train_loss.csv")
-    if start_step == 0 and os.path.exists(csv_path):
+    # checkpoint/log writes are rank-0-only under multi-host (shared FS)
+    if is_primary() and start_step == 0 and os.path.exists(csv_path):
         os.replace(csv_path, csv_path + ".prev")  # fresh run: rotate old log
-    logger = CsvLogger(csv_path, ["step", "loss", "time_s"])
+    logger = CsvLogger(csv_path, ["step", "loss", "time_s"]) if is_primary() else None
     timer = Timer()
+
+    def save_ckpt(st, milestone):
+        if is_primary():
+            trainer.save(st, milestone)
+        sync("ckpt")
 
     if args.step_mode == "resident":
         import jax.numpy as jnp
 
-        data_hr = jnp.asarray(hr_tr)
-        data_lr = jnp.asarray(lr_tr)
+        data_hr, data_lr = trainer.put_batch(hr_tr, lr_tr)
         epoch_fn = trainer.epoch_resident_fn(len(hr_tr), args.batch_size)
 
     for step in range(start_step, steps):
@@ -238,7 +270,8 @@ def main():
             else:
                 hr_b, lr_b = next(iter(dl.epoch_batches(step)))
                 state, loss = trainer.train_batch_step(state, hr_b, lr_b, sub)
-        logger.log(step=step, loss=loss, time_s=f"{time.time() - t0:.2f}")
+        if logger:
+            logger.log(step=step, loss=loss, time_s=f"{time.time() - t0:.2f}")
         if step % 10 == 0 or step == steps - 1:
             print(f"step {step}: loss {loss:.5f} ({time.time() - t0:.1f}s)")
         if (step + 1) % save_every == 0 or step == steps - 1:
@@ -255,12 +288,13 @@ def main():
                 best = m
                 from localdiffusion_tpu.train.trainer import round_milestone
 
-                trainer.save(state, "best" + round_milestone(step + 1))
+                save_ckpt(state, "best" + round_milestone(step + 1))
                 print(f"  saved best{round_milestone(step + 1)}")
             with timer.time("checkpoint"):
-                trainer.save(state, "latest")  # preemption-recovery point
-    trainer.save(state, "latest")
-    logger.close()
+                save_ckpt(state, "latest")  # preemption-recovery point
+    save_ckpt(state, "latest")
+    if logger:
+        logger.close()
     phase_means = {k: f"{v * 1e3:.1f}ms" for k, v in timer.summary().items()}
     print(f"phase means: {phase_means}")
     print("done")
