@@ -5,6 +5,14 @@ from localdiffusion_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from localdiffusion_tpu.parallel.multihost import (  # noqa: F401
+    init_distributed,
+    is_multiprocess,
+    is_primary,
+    put_tree,
+    sync,
+    warmup_collectives,
+)
 from localdiffusion_tpu.parallel.patch import (  # noqa: F401
     PatchGrid,
     extract_patches,
