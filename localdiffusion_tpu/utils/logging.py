@@ -81,6 +81,22 @@ def profile_trace(log_dir: str = "/tmp/jax_trace", enabled: bool = True):
         jax.profiler.stop_trace()
 
 
+def honor_platform_env() -> None:
+    """Make JAX_PLATFORMS authoritative even when a platform plugin
+    programmatically prepends itself to jax.config.jax_platforms (the axon
+    TPU plugin does).  Call at entry-point start, after importing jax."""
+    import os
+
+    import jax
+
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want and jax.config.jax_platforms != want:
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+
+
 def enable_compilation_cache(path: str = "/tmp/jax_cache") -> None:
     """Persist compiled executables across processes (huge win when compiles
     go through a remote compile service)."""

@@ -61,7 +61,12 @@ def conv_case(rng, b, hw, cin, cout, k=3, repeats=20):
 
 
 def main():
-    from localdiffusion_tpu.utils.logging import enable_compilation_cache
+    from localdiffusion_tpu.utils.logging import (
+        enable_compilation_cache,
+        honor_platform_env,
+    )
+
+    honor_platform_env()
 
     enable_compilation_cache()
     ap = argparse.ArgumentParser()

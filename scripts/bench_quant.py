@@ -36,7 +36,12 @@ def _time(fn, a, b, repeats=20):
 
 
 def main():
-    from localdiffusion_tpu.utils.logging import enable_compilation_cache
+    from localdiffusion_tpu.utils.logging import (
+        enable_compilation_cache,
+        honor_platform_env,
+    )
+
+    honor_platform_env()
 
     enable_compilation_cache()
     ap = argparse.ArgumentParser()

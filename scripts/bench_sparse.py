@@ -24,7 +24,12 @@ import numpy as np
 
 
 def main():
-    from localdiffusion_tpu.utils.logging import enable_compilation_cache
+    from localdiffusion_tpu.utils.logging import (
+        enable_compilation_cache,
+        honor_platform_env,
+    )
+
+    honor_platform_env()
 
     enable_compilation_cache()
     ap = argparse.ArgumentParser()

@@ -19,7 +19,12 @@ import numpy as np
 
 
 def main():
-    from localdiffusion_tpu.utils.logging import enable_compilation_cache
+    from localdiffusion_tpu.utils.logging import (
+        enable_compilation_cache,
+        honor_platform_env,
+    )
+
+    honor_platform_env()
 
     enable_compilation_cache()
     ap = argparse.ArgumentParser()
@@ -52,35 +57,20 @@ def main():
         )
 
     from localdiffusion_tpu.data import MNISTDataset, load_mnist_arrays, synthetic_digits
-    from localdiffusion_tpu.diffusion.gaussian import GaussianDiffusion
-    from localdiffusion_tpu.ood.frontend import OODFrontend
-    from localdiffusion_tpu.ood.patchcore import PatchCore
+    from localdiffusion_tpu.factory import (
+        build_classifier_gate,
+        build_frontend,
+        build_gd,
+        load_params,
+    )
     from localdiffusion_tpu.pipeline import LocalDiffusionPipeline
-    from localdiffusion_tpu.train.trainer import Trainer
 
     np.random.seed(0)
 
-    import jax.numpy as _jnp
-
-    gd = GaussianDiffusion(
-        cfg.model, cfg.diffusion, dtype=getattr(_jnp, cfg.train.compute_dtype)
-    )
-    trainer = Trainer(gd, cfg.train)
-    if args.params_npz:
-        from localdiffusion_tpu.utils.params_io import load_params_npz
-
-        template = gd.init_params(jax.random.PRNGKey(0))
-        params = load_params_npz(args.params_npz, template)
-        print(f"loaded params snapshot {args.params_npz}")
-    else:
-        try:
-            state = trainer.load(args.milestone)
-            print(f"loaded milestone {args.milestone}")
-        except Exception as e:
-            print(f"WARNING: no checkpoint ({e}); using random init")
-            state = trainer.init_state(jax.random.PRNGKey(0))
-        # EMA model for eval (reference test.py:144-147)
-        params = state.ema_params
+    gd = build_gd(cfg)
+    # EMA model for eval (reference test.py:144-147)
+    params = load_params(cfg, gd, milestone=args.milestone,
+                         params_npz=args.params_npz)
 
     # OOD-test dataset: the anomalous digit class (reference test.py:66-89)
     seg_pairs = None
@@ -157,110 +147,26 @@ def main():
     else:
         raise NotImplementedError(f"unknown dataset {cfg.data.name}")
 
-    frontend = None
-    if cfg.ood.detector == "none":
-        # explicit plain-chain run: uniform-ones masks → branching bypass
-        # (reference ddpm.py:1110-1117), regardless of gt seg availability
-        frontend = OODFrontend(cfg)
-    elif cfg.ood.detector == "seg":
-        import orbax.checkpoint as ocp
-
-        from localdiffusion_tpu.models import SegUNet
-        from localdiffusion_tpu.ood.frontend import OODFrontend
-
-        seg_model = SegUNet()
-        seg_path = os.path.abspath("results/seg/best_dice")
-        if os.path.exists(seg_path):
-            ckptr = ocp.StandardCheckpointer()
-            template = jax.device_get(
-                seg_model.init(
-                    jax.random.PRNGKey(0),
-                    np.zeros((1, cfg.diffusion.image_size, cfg.diffusion.image_size, 1), np.float32),
-                )
-            )
-            seg_params = ckptr.restore(seg_path, template)
-            print("loaded seg detector checkpoint")
-            frontend = OODFrontend(
-                cfg, seg_apply=lambda x: seg_model.apply(seg_params, x)
-            )
-        elif seg_pairs is not None:
-            # no trained detector — use ground-truth seg masks (the
-            # reference's commented gt-mask path, test.py:325-327)
-            print("no seg checkpoint — using ground-truth seg masks")
-            frontend = None
-    elif cfg.sampler.ood_ad and cfg.ood.detector != "none":
-        pc = None
-        if cfg.ood.detector == "patchcore":
-            mb = None
-            if cfg.ood.memory_bank_path and os.path.exists(cfg.ood.memory_bank_path):
-                mb = np.load(cfg.ood.memory_bank_path)
-                print(f"loaded memory bank {mb.shape}")
-                # auto-discover the self-calibrated ladder saved next to the
-                # bank by scripts/anomaly_model_train.py
-                if not cfg.ood.ladder_path:
-                    lad = os.path.splitext(cfg.ood.memory_bank_path)[0] + "_ladder.json"
-                    if os.path.exists(lad):
-                        import dataclasses as _dc
-
-                        cfg = cfg.replace(ood=_dc.replace(cfg.ood, ladder_path=lad))
-                        print(f"using fitted threshold ladder {lad}")
-            pc = PatchCore(cfg.ood, memory_bank=mb)
-        frontend = OODFrontend(cfg, patchcore=pc)
-        if pc is not None and pc.memory_bank is None:
-            # no memory bank — build one from the conditioning stream with
-            # the frontend's own preprocessing (bank and inference-time maps
-            # must share it)
-            print("no memory bank — building from the conditioning stream")
-            prep = frontend._preprocess_patchcore(np.asarray(lr[:16]))
-            pc.build_memory_bank([np.asarray(prep)])
+    frontend, cfg = build_frontend(cfg, calibration_images=lr[:16])
+    if frontend is None and seg_pairs is not None:
+        # no trained seg detector — use ground-truth seg masks (the
+        # reference's commented gt-mask path, test.py:325-327)
+        print("no seg checkpoint — using ground-truth seg masks")
 
     # optional classifier-gated re-branching (reference ddpm.py:622-625,
     # 883-916): reuses the PatchCore detector as the accept/reject oracle
-    classifier_gate = None
-    if cfg.sampler.classifier:
-        if gd.is_ddim_sampling:
-            print("NOTE: classifier gate applies to the DDPM ancestral path "
-                  "only (reference ddim_sample has no classifier logic, "
-                  "ddpm.py:979-1075) — ignored under DDIM; set "
-                  "sampling_timesteps: null to exercise it")
-        from localdiffusion_tpu.ood.classifier import ClassifierPatchCore
-
-        cls_pc = frontend.patchcore if (
-            frontend is not None and getattr(frontend, "patchcore", None) is not None
-        ) else None
-        if cls_pc is None:
-            # classifier oracle independent of the mask detector: the
-            # reference loads its own patchcore+bank selected by
-            # classifier_obj (models.py:278-287, e.g.
-            # memory_bank_mvtec_{obj}.npy) — look for an obj-specific bank
-            # next to the detector bank first, then fall back to it
-            mb = None
-            if cfg.ood.memory_bank_path:
-                base = cfg.ood.memory_bank_path
-                obj_path = os.path.join(
-                    os.path.dirname(base),
-                    f"memory_bank_{cfg.data.name}_{cfg.sampler.classifier_obj}.npy",
-                )
-                for cand in (obj_path, base):
-                    if os.path.exists(cand):
-                        mb = np.load(cand)
-                        print(f"classifier memory bank: {cand} {mb.shape}")
-                        break
-            cls_pc = PatchCore(cfg.ood, memory_bank=mb)
-            if mb is None:
-                from localdiffusion_tpu.ood.classifier import preprocess_for_patchcore
-
-                prep = preprocess_for_patchcore(np.asarray(lr[:16]), cfg.ood.input_size)
-                cls_pc.build_memory_bank([np.asarray(prep)])
-        thr = cfg.ood.classifier_threshold
-        cls = ClassifierPatchCore(cls_pc, threshold=thr)
-        if thr is None:
-            print("calibrating classifier threshold from the test stream")
-            loader = [(hr[i : i + 1], 1) for i in range(min(8, len(hr)))] + [
-                (lr[i : i + 1], 0) for i in range(min(8, len(lr)))
-            ]
-            cls.calibrate(loader)
-        classifier_gate = cls.as_sampler_gate()
+    if cfg.sampler.classifier and gd.is_ddim_sampling:
+        print("NOTE: classifier gate applies to the DDPM ancestral path "
+              "only (reference ddim_sample has no classifier logic, "
+              "ddpm.py:979-1075) — ignored under DDIM; set "
+              "sampling_timesteps: null to exercise it")
+    # ROC-calibration stream when no threshold is configured
+    # (reference models.py:338-402): GT batches labeled 1, degraded 0
+    cal_pairs = [(hr[i : i + 1], 1) for i in range(min(8, len(hr)))] + [
+        (lr[i : i + 1], 0) for i in range(min(8, len(lr)))
+    ]
+    classifier_gate = build_classifier_gate(cfg, frontend,
+                                            calibration_pairs=cal_pairs)
 
     pipe = LocalDiffusionPipeline(
         cfg, gd, params, frontend=frontend, classifier_gate=classifier_gate

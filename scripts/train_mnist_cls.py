@@ -20,7 +20,12 @@ import optax
 
 
 def main():
-    from localdiffusion_tpu.utils.logging import enable_compilation_cache
+    from localdiffusion_tpu.utils.logging import (
+        enable_compilation_cache,
+        honor_platform_env,
+    )
+
+    honor_platform_env()
 
     enable_compilation_cache()
     ap = argparse.ArgumentParser()

@@ -1,0 +1,139 @@
+"""Serving runtime tests: dynamic batching, uniform/branched partitioning,
+padding, deterministic batch keys, and the pipeline factory.
+
+The reference has no serving surface (its test.py is an offline batch-1
+loop); localdiffusion_tpu/serving.py is the TPU deployment layer —
+static-shape compile-once programs fed by a batching queue.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from localdiffusion_tpu.config import (
+    Config,
+    DataConfig,
+    DiffusionConfig,
+    ModelConfig,
+    OODConfig,
+    SamplerConfig,
+    TrainConfig,
+)
+from localdiffusion_tpu.diffusion.gaussian import GaussianDiffusion
+from localdiffusion_tpu.pipeline import LocalDiffusionPipeline
+from localdiffusion_tpu.serving import InferenceServer
+
+KEY = jax.random.PRNGKey(0)
+S = 8
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    mcfg = ModelConfig(dim=8, dim_mults=(1, 2), full_attn=(False, True), channels=1)
+    dcfg = DiffusionConfig(image_size=S, timesteps=10, objective="pred_x0")
+    gd = GaussianDiffusion(mcfg, dcfg)
+    params = gd.init_params(KEY, batch_size=1)
+    cfg = Config(
+        model=mcfg,
+        diffusion=dcfg,
+        sampler=SamplerConfig(start_timestep=2),
+        ood=OODConfig(detector="manual", input_size=S),
+        data=DataConfig(name="mnist"),
+        train=TrainConfig(),
+    )
+    return LocalDiffusionPipeline(cfg, gd, params)
+
+
+def _img(seed):
+    return np.random.default_rng(seed).uniform(0, 2, (S, S, 1)).astype(np.float32)
+
+
+def _anom_mask():
+    m = np.ones((S, S, 1), np.float32)
+    m[:, : S // 2] = 0.5
+    return m
+
+
+def test_batched_result_matches_direct_call(pipe):
+    """4 queued requests form ONE batch; outputs equal a direct pipeline
+    call on the stacked batch with the server's deterministic batch-0 key."""
+    srv = InferenceServer(pipe, batch_size=4, max_wait_ms=500, base_seed=0)
+    imgs = [_img(i) for i in range(4)]
+    mask = _anom_mask()
+    futs = [srv.submit(im, mask=mask) for im in imgs]  # queue BEFORE start
+    srv.start()
+    outs = [f.result(timeout=300) for f in futs]
+    srv.stop()
+
+    stats = srv.snapshot_stats()
+    assert stats["requests"] == 4
+    assert stats["batches"] == 1  # dynamic batching actually batched
+    assert stats["branched_dispatches"] == 1
+    assert stats["padded_slots"] == 0
+
+    direct = pipe.translate(
+        np.stack(imgs), key=jax.random.fold_in(jax.random.PRNGKey(0), 0),
+        mask=np.stack([mask] * 4),
+    )
+    for i, out in enumerate(outs):
+        assert out["branched"]
+        np.testing.assert_allclose(out["pred"], direct["pred"][i], atol=1e-5)
+
+
+def test_uniform_rows_take_plain_chain(pipe):
+    """Mixed batch: uniform-ones-mask rows dispatch to the plain program
+    (the request-level uniform-mask bypass, reference ddpm.py:1110-1117)."""
+    srv = InferenceServer(pipe, batch_size=4, max_wait_ms=500)
+    ones = np.ones((S, S, 1), np.float32)
+    futs = [
+        srv.submit(_img(0), mask=ones),
+        srv.submit(_img(1), mask=_anom_mask()),
+        srv.submit(_img(2), mask=ones),
+        srv.submit(_img(3), mask=_anom_mask()),
+    ]
+    srv.start()
+    outs = [f.result(timeout=300) for f in futs]
+    srv.stop()
+
+    stats = srv.snapshot_stats()
+    assert stats["batches"] == 1
+    assert stats["plain_dispatches"] == 1
+    assert stats["branched_dispatches"] == 1
+    assert [o["branched"] for o in outs] == [False, True, False, True]
+
+
+def test_partial_batch_pads_and_resolves(pipe):
+    srv = InferenceServer(pipe, batch_size=4, max_wait_ms=30)
+    srv.start()
+    futs = [srv.submit(_img(i), mask=_anom_mask()) for i in range(3)]
+    outs = [f.result(timeout=300) for f in futs]
+    srv.stop()
+    assert all(o["pred"].shape == (S, S, 1) for o in outs)
+    assert srv.snapshot_stats()["padded_slots"] >= 1
+    assert all(np.isfinite(o["latency_s"]) for o in outs)
+
+
+def test_submit_rejects_batched_input(pipe):
+    srv = InferenceServer(pipe, batch_size=2)
+    with pytest.raises(ValueError):
+        srv.submit(np.zeros((2, S, S, 1), np.float32))
+
+
+def test_factory_builds_running_pipeline(tmp_path):
+    """build_pipeline: config → pipeline without any script plumbing
+    (random init fallback; detector 'none' → plain chain)."""
+    from localdiffusion_tpu.factory import build_pipeline
+
+    mcfg = ModelConfig(dim=8, dim_mults=(1, 2), full_attn=(False, True), channels=1)
+    cfg = Config(
+        model=mcfg,
+        diffusion=DiffusionConfig(image_size=S, timesteps=10, objective="pred_x0"),
+        sampler=SamplerConfig(start_timestep=2),
+        ood=OODConfig(detector="none", input_size=S),
+        data=DataConfig(name="mnist"),
+        train=TrainConfig(results_dir=str(tmp_path), project_name="nope"),
+    )
+    pipe2 = build_pipeline(cfg, verbose=False)
+    r = pipe2.translate(np.stack([_img(0)]))
+    assert r["pred"].shape == (1, S, S, 1)
+    assert not bool(r["branched"])  # uniform mask → plain bypass
