@@ -5,6 +5,15 @@ from localdiffusion_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from localdiffusion_tpu.parallel.fsdp import (  # noqa: F401
+    gather_tree,
+    put_tree_sharded,
+    shard_info,
+    spec_for_shape,
+    state_shardings,
+    tp_param_shardings,
+    tree_shardings,
+)
 from localdiffusion_tpu.parallel.multihost import (  # noqa: F401
     init_distributed,
     is_multiprocess,

@@ -5,9 +5,13 @@ The reference's distribution story is HF Accelerate DDP over NCCL
 is single-program pjit over a `jax.sharding.Mesh`; XLA compiles the gradient
 all-reduce / eval all-gathers onto ICI.  Axes:
 
-  data  — batch data parallelism (DDP equivalent)
+  data  — batch data parallelism (DDP equivalent); with Trainer(fsdp=True)
+          the training state is also ZeRO-3-sharded over it (parallel/fsdp.py)
   patch — branch/patch parallelism for branched & tiled sampling
           (the novel scale-out axis; BASELINE.json config 5)
+  model — tensor parallelism: params stay sharded during compute and XLA
+          partitions the matmuls/convs themselves (parallel/fsdp.py
+          tp_param_shardings); only present when model > 1
 """
 
 from __future__ import annotations
@@ -18,17 +22,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(
-    data: int = -1, patch: int = 1, devices=None
+    data: int = -1, patch: int = 1, model: int = 1, devices=None
 ) -> Mesh:
-    """Build a 2-D ('data', 'patch') mesh over the available devices."""
+    """Build a ('data', 'patch'[, 'model']) mesh over the available devices."""
     devs = list(devices if devices is not None else jax.devices())
     n = len(devs)
     if data == -1:
-        assert n % patch == 0, f"{n} devices not divisible by patch={patch}"
-        data = n // patch
-    assert data * patch <= n
-    arr = np.array(devs[: data * patch]).reshape(data, patch)
-    return Mesh(arr, ("data", "patch"))
+        assert n % (patch * model) == 0, (
+            f"{n} devices not divisible by patch*model={patch * model}"
+        )
+        data = n // (patch * model)
+    assert data * patch * model <= n
+    if model == 1:
+        arr = np.array(devs[: data * patch]).reshape(data, patch)
+        return Mesh(arr, ("data", "patch"))
+    arr = np.array(devs[: data * patch * model]).reshape(data, patch, model)
+    return Mesh(arr, ("data", "patch", "model"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

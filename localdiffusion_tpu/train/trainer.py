@@ -93,35 +93,43 @@ class Trainer:
         cfg: TrainConfig,
         mesh=None,
         ema_cfg: EmaConfig = EmaConfig(),
+        fsdp: bool = False,
     ):
         self.gd = gd
         self.cfg = cfg
         self.mesh = mesh
         self.ema_cfg = ema_cfg
+        self.fsdp = bool(fsdp)
+        if self.fsdp and mesh is None:
+            raise ValueError("fsdp=True requires a mesh")
         self.optimizer = make_optimizer(cfg)
         self._compiled = {}
         self.results_dir = os.path.join(cfg.results_dir, cfg.project_name)
 
     # ------------------------------------------------------------------
-    def init_state(self, rng) -> TrainState:
+    def _build_state(self, rng) -> TrainState:
+        """Pure state construction (no device placement) — also traced by
+        parallel/fsdp.state_shardings via eval_shape."""
         params = self.gd.init_params(rng, batch_size=1)
         opt_state = self.optimizer.init(params)
         # real copies — EMA leaves must not alias param buffers (donation
         # would otherwise see the same buffer twice)
         ema_params = jax.tree_util.tree_map(jnp.copy, params)
-        state = TrainState(
+        return TrainState(
             step=jnp.asarray(0, jnp.int32),
             params=params,
             opt_state=opt_state,
             ema_params=ema_params,
         )
+
+    def init_state(self, rng) -> TrainState:
+        state = self._build_state(rng)
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from localdiffusion_tpu.parallel.fsdp import put_tree_sharded
 
-            from localdiffusion_tpu.parallel.multihost import put_tree
-
-            rep = NamedSharding(self.mesh, P())
-            state = put_tree(state, rep)
+            state = put_tree_sharded(
+                state, self._state_sharding(broadcast=True)
+            )
         return state
 
     # ------------------------------------------------------------------
@@ -135,6 +143,25 @@ class Trainer:
         rep = NamedSharding(self.mesh, P())
         batch_sh = NamedSharding(self.mesh, P("data"))
         return rep, batch_sh
+
+    def _state_sharding(self, broadcast: bool = False):
+        """Sharding for the whole TrainState: replicated by default, per-leaf
+        ZeRO-3 shardings over 'data' when fsdp=True (parallel/fsdp.py).
+        broadcast=True expands the single replicated sharding to a full
+        TrainState-shaped tree (for put_tree_sharded)."""
+        if self.mesh is None:
+            return None
+        if self.fsdp:
+            from localdiffusion_tpu.parallel.fsdp import state_shardings
+
+            if "state_sh" not in self._compiled:
+                self._compiled["state_sh"] = state_shardings(self, self.mesh)
+            return self._compiled["state_sh"]
+        rep, _ = self._shardings()
+        if not broadcast:
+            return rep
+        state_shape = jax.eval_shape(self._build_state, jax.random.PRNGKey(0))
+        return jax.tree_util.tree_map(lambda _: rep, state_shape)
 
     def put_batch(self, *arrays):
         """Place host batch arrays for the jitted steps.
@@ -195,11 +222,12 @@ class Trainer:
             rep, batch_sh = self._shardings()
             if rep is None:
                 return jax.jit(step, donate_argnums=(0,))
+            st = self._state_sharding()
             return jax.jit(
                 step,
                 donate_argnums=(0,),
-                in_shardings=(rep, batch_sh, batch_sh, rep),
-                out_shardings=(rep, rep),
+                in_shardings=(st, batch_sh, batch_sh, rep),
+                out_shardings=(st, rep),
             )
 
         return self._get("train_step", build)
@@ -220,11 +248,12 @@ class Trainer:
             rep, batch_sh = self._shardings()
             if rep is None:
                 return jax.jit(accum, donate_argnums=(1,))
+            psh = self._state_sharding().params if self.fsdp else rep
             return jax.jit(
                 accum,
                 donate_argnums=(1,),
-                in_shardings=(rep, rep, rep, batch_sh, batch_sh, rep, None),
-                out_shardings=(rep, rep),
+                in_shardings=(psh, psh, rep, batch_sh, batch_sh, rep, None),
+                out_shardings=(psh, rep),
             )
 
         return self._get("accum_grad", build)
@@ -250,11 +279,13 @@ class Trainer:
             rep, _ = self._shardings()
             if rep is None:
                 return jax.jit(apply, donate_argnums=(0,))
+            st = self._state_sharding()
+            psh = st.params if self.fsdp else rep
             return jax.jit(
                 apply,
                 donate_argnums=(0,),
-                in_shardings=(rep, rep),
-                out_shardings=rep,
+                in_shardings=(st, psh),
+                out_shardings=st,
             )
 
         return self._get("apply_grads", build)
@@ -357,11 +388,12 @@ class Trainer:
             rep, batch_sh = self._shardings()
             if rep is None:
                 return jax.jit(epoch, donate_argnums=(0,))
+            st = self._state_sharding()
             return jax.jit(
                 epoch,
                 donate_argnums=(0,),
-                in_shardings=(rep, batch_sh, batch_sh, rep),
-                out_shardings=(rep, rep),
+                in_shardings=(st, batch_sh, batch_sh, rep),
+                out_shardings=(st, rep),
             )
 
         return self._get(f"epoch_resident_{n}_{batch_size}", build)
@@ -381,7 +413,12 @@ class Trainer:
 
         fn = self._get(f"eval_sampler_{min_max_val}", build)
         hr_g, lr_g = self.put_batch(hr, lr)
-        return float(fn(state.ema_params, hr_g, lr_g, self._put_rep(key)))
+        ema = state.ema_params
+        if self.fsdp:
+            from localdiffusion_tpu.parallel.fsdp import gather_tree
+
+            ema = gather_tree(ema, self.mesh)
+        return float(fn(ema, hr_g, lr_g, self._put_rep(key)))
 
     # ------------------------------------------------------------------
     # checkpointing (reference ddpm.py:1495-1527 → Orbax)
@@ -392,6 +429,10 @@ class Trainer:
         path = os.path.abspath(os.path.join(self.results_dir, f"model-{milestone}"))
         os.makedirs(self.results_dir, exist_ok=True)
         ckptr = ocp.StandardCheckpointer()
+        if self.fsdp:
+            from localdiffusion_tpu.parallel.fsdp import gather_tree
+
+            state = gather_tree(state, self.mesh)
         state_host = jax.device_get(state)
         ckptr.save(path, state_host, force=True)
         ckptr.wait_until_finished()
@@ -406,11 +447,11 @@ class Trainer:
         restored = ckptr.restore(path, template)
         state = restored
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from localdiffusion_tpu.parallel.fsdp import put_tree_sharded
 
-            from localdiffusion_tpu.parallel.multihost import put_tree
-
-            state = put_tree(state, NamedSharding(self.mesh, P()))
+            state = put_tree_sharded(
+                state, self._state_sharding(broadcast=True)
+            )
         return state
 
 

@@ -170,6 +170,11 @@ def main():
                     help="host:port of rank 0 (multi-host only)")
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument(
+        "--fsdp", action="store_true",
+        help="ZeRO-3-shard params/opt/EMA over the data axis "
+        "(parallel/fsdp.py); the reference's only mode is replicated DDP",
+    )
     args = ap.parse_args()
 
     from localdiffusion_tpu.parallel.multihost import (
@@ -199,7 +204,7 @@ def main():
     dtype = getattr(_jnp, cfg.train.compute_dtype)
     gd = GaussianDiffusion(cfg.model, cfg.diffusion, dtype=dtype)
     mesh = None
-    if jax.process_count() > 1:
+    if jax.process_count() > 1 or (args.fsdp and len(jax.devices()) > 1):
         from localdiffusion_tpu.parallel.mesh import make_mesh
 
         from localdiffusion_tpu.parallel.multihost import warmup_collectives
@@ -210,7 +215,7 @@ def main():
             f"multi-host: {jax.process_count()} processes / "
             f"{len(jax.devices())} devices, mesh data={len(jax.devices())}"
         )
-    trainer = Trainer(gd, cfg.train, mesh=mesh)
+    trainer = Trainer(gd, cfg.train, mesh=mesh, fsdp=args.fsdp and mesh is not None)
     state = trainer.init_state(key)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     print(f"Total number of parameters: {n_params}")
@@ -227,6 +232,15 @@ def main():
             print(f"resume failed ({e}); starting fresh")
 
     (hr_tr, lr_tr), (hr_te, lr_te) = build_dataset(cfg)
+    if mesh is not None:
+        # batch-sharded feeding needs len % mesh data width == 0; drop the
+        # tail deterministically (DataLoader drop_last equivalent)
+        d = int(mesh.shape["data"])
+        n_keep = (len(hr_tr) // d) * d
+        if n_keep != len(hr_tr):
+            print(f"trimming train set {len(hr_tr)} -> {n_keep} "
+                  f"(divisible by data={d})")
+            hr_tr, lr_tr = hr_tr[:n_keep], lr_tr[:n_keep]
     print(f"train {len(hr_tr)} / test {len(hr_te)} samples")
     dl = ArrayLoader(hr_tr, lr_tr, batch_size=args.batch_size, seed=42)
 
