@@ -171,6 +171,11 @@ def main():
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument(
+        "--init-npz", default=None,
+        help="warm-start params/EMA from a slim npz snapshot "
+        "(utils/params_io.py); optimizer state starts fresh",
+    )
+    ap.add_argument(
         "--fsdp", action="store_true",
         help="ZeRO-3-shard params/opt/EMA over the data axis "
         "(parallel/fsdp.py); the reference's only mode is replicated DDP",
@@ -221,6 +226,26 @@ def main():
     print(f"Total number of parameters: {n_params}")
 
     start_step = 0
+    if args.init_npz:
+        # warm start: params (and the EMA copy) from a slim npz snapshot
+        # (utils/params_io.py); optimizer state and step start fresh
+        import jax.numpy as jnp
+
+        from localdiffusion_tpu.utils.params_io import load_params_npz
+
+        loaded = load_params_npz(args.init_npz, state.params)
+        state = state.replace(
+            params=loaded,
+            ema_params=jax.tree_util.tree_map(jnp.copy, loaded),
+        )
+        if trainer.mesh is not None:
+            from localdiffusion_tpu.parallel.fsdp import put_tree_sharded
+
+            state = put_tree_sharded(
+                jax.device_get(state),
+                trainer._state_sharding(broadcast=not trainer.fsdp),
+            )
+        print(f"warm-started params from {args.init_npz}")
     if args.resume == "auto" and os.path.exists(
         os.path.join(trainer.results_dir, "model-latest")
     ):
