@@ -1,4 +1,9 @@
 from localdiffusion_tpu.data.loader import ArrayLoader, cycle  # noqa: F401
+from localdiffusion_tpu.data.stream import (  # noqa: F401
+    StreamLoader,
+    device_prefetch,
+    npy_shard,
+)
 from localdiffusion_tpu.data.mnist import (  # noqa: F401
     MNISTDataset,
     degrade,
