@@ -192,6 +192,7 @@ def fit_ladder(
     rel_above: float = 1.1,
     rel_rung: str = "max-1std",
     clip_lo: str = "thr-std",
+    gate_q: float = 1.0,
 ) -> ThresholdLadder:
     """Self-calibrate a threshold ladder from NORMAL-set anomaly maps.
 
@@ -231,7 +232,11 @@ def fit_ladder(
         else:
             maxima.append(float(m.max()))
         pix.append(m.ravel())
-    gate = float(np.max(maxima)) * (1.0 + gate_margin)
+    # gate_q < 1 swaps the max of the normal maxima (an extreme statistic —
+    # a single outlier image moves it, which is why refit ladders vary
+    # run to run; docs/STATUS.md round 3) for a quantile of them; 1.0
+    # keeps the reference-style max gate
+    gate = float(np.quantile(maxima, gate_q)) * (1.0 + gate_margin)
     thr = float(np.quantile(np.concatenate(pix), pixel_q))
     return ThresholdLadder(
         gate=gate,

@@ -40,6 +40,11 @@ def main():
                          "(e.g. max-1std, max-2std; higher-res inputs "
                          "produce sharper score peaks and may need a looser "
                          "rung — max-1std under-segmented at 256px)")
+    ap.add_argument("--gate-q", type=float, default=1.0,
+                    help="quantile of the normal per-image maxima used as "
+                         "the gate (1.0 = max, the reference-style extreme "
+                         "statistic; ~0.95 is robust to a single outlier "
+                         "normal image and stabilizes refit ladders)")
     ap.add_argument("--no-ladder", action="store_true",
                     help="skip self-calibrating the threshold ladder")
     args = ap.parse_args()
@@ -131,7 +136,8 @@ def main():
         # coreset-sampled from — nonzero because the coreset keeps 10%)
         maps = [np.asarray(pc(jnp.asarray(x))["anomaly_map"], np.float32)
                 for x in batches]
-        ladder = fit_ladder(maps, pixel_q=args.pixel_q, rel_rung=args.rel_rung)
+        ladder = fit_ladder(maps, pixel_q=args.pixel_q, rel_rung=args.rel_rung,
+                            gate_q=args.gate_q)
         ladder_out = os.path.splitext(out)[0] + "_ladder.json"
         save_ladder(ladder, ladder_out)
         print(f"saved fitted ladder {ladder_out}: gate={ladder.gate:.4f} "

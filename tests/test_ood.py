@@ -215,6 +215,29 @@ def test_fit_ladder_statistics_and_roundtrip(tmp_path):
     assert lad2 == lad
 
 
+def test_fit_ladder_gate_quantile_robust_to_outlier():
+    """gate_q < 1 makes the gate a quantile of the normal maxima instead of
+    their max, so a single outlier normal image no longer sets it."""
+    from localdiffusion_tpu.ood.thresholds import fit_ladder
+
+    rng = np.random.default_rng(7)
+    normal_maps = [rng.normal(5.0, 1.0, (1, 8, 8, 1)).astype(np.float32)
+                   for _ in range(20)]
+    outlier = normal_maps[0] + 100.0
+    maps = [outlier] + normal_maps[1:]
+
+    lad_max = fit_ladder(maps, gate_q=1.0)
+    lad_rob = fit_ladder(maps, gate_q=0.9)
+    maxima = [float(m.max()) for m in maps]
+    assert lad_max.gate == pytest.approx(max(maxima))       # outlier-driven
+    assert lad_rob.gate == pytest.approx(float(np.quantile(maxima, 0.9)))
+    assert lad_rob.gate < 0.2 * lad_max.gate
+    # without the outlier, gate_q=0.9 barely moves vs a fresh fit —
+    # the robust gate is stable under refits while max is not
+    lad_clean = fit_ladder(normal_maps[1:], gate_q=0.9)
+    assert lad_rob.gate == pytest.approx(lad_clean.gate, rel=0.05)
+
+
 def _run_fit_ladder_iou(normal, test_imgs, gt_masks):
     """Shared body: build bank from normals, fit ladder from normal maps,
     detect on anomalous images, return (all_fired, mean IoU vs gt).
