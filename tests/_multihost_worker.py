@@ -87,11 +87,23 @@ def main():
     state2, loss2 = tr.train_batch_step(state, hr, lr, key)
     assert int(np.asarray(state2.step)) == 1
 
+    # FSDP under a REAL multi-process runtime: init_state goes through
+    # put_tree_sharded's make_array_from_callback branch (each process
+    # assembles only its addressable shards), and the step's
+    # all-gather/reduce-scatter collectives cross processes
+    from localdiffusion_tpu.parallel.fsdp import shard_info
+
+    tr_f = Trainer(gd, TrainConfig(lr=1e-3), mesh=mesh, fsdp=True)
+    state_f = tr_f.init_state(key)
+    assert shard_info(state_f)["memory_scaling"] > 1.5
+    state_f2, loss_f = tr_f.train_batch_step(state_f, hr, lr, key)
+    assert int(np.asarray(state_f2.step)) == 1
+
     if is_primary():
         leaves = [np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(g)]
         np.save(os.path.join(args.out, "grads.npy"), np.concatenate(leaves))
         with open(os.path.join(args.out, "loss.txt"), "w") as f:
-            f.write(f"{float(loss)} {float(loss2)}")
+            f.write(f"{float(loss)} {float(loss2)} {float(loss_f)}")
     sync("done")
 
 

@@ -88,10 +88,13 @@ def test_two_process_grad_parity(tmp_path):
         assert p.returncode == 0, f"rank failed:\n{out[-4000:]}"
 
     g_multi = np.load(tmp_path / "grads.npy")
-    loss_multi, loss_step = map(
+    loss_multi, loss_step, loss_fsdp = map(
         float, (tmp_path / "loss.txt").read_text().split()
     )
     assert np.isfinite(loss_step)
+    # FSDP step under the 2-process runtime sees the same loss as the
+    # replicated step (same params/batch/key; sharded state, same math)
+    np.testing.assert_allclose(loss_fsdp, loss_step, rtol=1e-5)
 
     g_ref, loss_ref = _reference_grads()
     np.testing.assert_allclose(loss_multi, loss_ref, rtol=1e-5)
