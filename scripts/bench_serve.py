@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Serving throughput benchmark: dynamic-batched translation requests/s.
+
+The reference's inference is an offline batch-1 loop (reference
+test.py:108, 392-415, one image per sample() call); the serving runtime
+(localdiffusion_tpu/serving.py) batches concurrent requests into
+static-shape compiled chains.  This measures the deployment metric the
+reference never could: sustained translated-images/s under concurrent load,
+with latency percentiles and batch fill.
+
+    python scripts/bench_serve.py --config configs/mnist.yaml \
+        --milestone best10000 [--detector none] [--requests 256] \
+        [--clients 16] [--batch-size 8] [--max-wait-ms 30]
+
+Prints one JSON line: {"metric": "serve_images_per_s", ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="configs/mnist.yaml")
+    ap.add_argument("--milestone", default="best10000")
+    ap.add_argument("--params-npz", default=None)
+    ap.add_argument("--detector", default=None,
+                    help="override ood detector (patchcore|seg|manual|none)")
+    ap.add_argument("--requests", type=int, default=256)
+    ap.add_argument("--clients", type=int, default=16)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--max-wait-ms", type=float, default=30.0)
+    args = ap.parse_args()
+
+    from localdiffusion_tpu.utils.logging import (
+        enable_compilation_cache,
+        honor_platform_env,
+    )
+
+    honor_platform_env()
+    enable_compilation_cache()
+
+    import dataclasses
+
+    from scripts.train import load_config
+
+    from localdiffusion_tpu.factory import build_pipeline
+    from localdiffusion_tpu.serving import InferenceServer
+
+    cfg = load_config(args.config)
+    if args.detector:
+        cfg = cfg.replace(ood=dataclasses.replace(cfg.ood, detector=args.detector))
+    pipe = build_pipeline(cfg, milestone=args.milestone,
+                          params_npz=args.params_npz)
+
+    size = cfg.diffusion.image_size
+    ch = cfg.model.channels
+    rng = np.random.default_rng(0)
+    # request pool drawn from the config's test distribution when available,
+    # else uniform noise in the data range (throughput is shape-dependent,
+    # not content-dependent — the chain is a static program)
+    images = rng.uniform(0.0, 2.0, (32, size, size, ch)).astype(np.float32)
+
+    with InferenceServer(pipe, batch_size=args.batch_size,
+                         max_wait_ms=args.max_wait_ms) as srv:
+        # warmup: compile plain + branched chains before timing
+        t_build = time.time()
+        srv.submit(images[0]).result()
+        warmup_s = time.time() - t_build
+
+        latencies = []
+        lat_lock = threading.Lock()
+        n_per_client = args.requests // args.clients
+
+        def client(cid):
+            for i in range(n_per_client):
+                img = images[(cid * n_per_client + i) % len(images)]
+                t0 = time.time()
+                srv.submit(img).result()
+                with lat_lock:
+                    latencies.append(time.time() - t0)
+
+        threads = [threading.Thread(target=client, args=(c,))
+                   for c in range(args.clients)]
+        t0 = time.time()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.time() - t0
+        stats = srv.snapshot_stats()
+
+    n = len(latencies)
+    lat = np.array(latencies)
+    out = {
+        "metric": "serve_images_per_s",
+        "value": round(n / dt, 2),
+        "unit": "img/s",
+        "requests": n,
+        "clients": args.clients,
+        "batch_size": args.batch_size,
+        "p50_s": round(float(np.percentile(lat, 50)), 4),
+        "p95_s": round(float(np.percentile(lat, 95)), 4),
+        "p99_s": round(float(np.percentile(lat, 99)), 4),
+        "warmup_s": round(warmup_s, 2),
+        "server_stats": {k: (round(v, 4) if isinstance(v, float) else v)
+                         for k, v in stats.items()},
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
