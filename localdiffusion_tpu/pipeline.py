@@ -227,3 +227,63 @@ class LocalDiffusionPipeline:
                 print(f"OOD-region loss: {float(out['mean_mse_ood_region']):.4f}")
             print(f"Average sampling time: {float(out['mean_time']):.4f}")
         return out
+
+    def translate_volume(
+        self,
+        dataset,
+        batch_size: int = 8,
+        key=None,
+        verbose: bool = True,
+    ) -> Dict[str, np.ndarray]:
+        """Translate every slice of a per-volume dataset (items = (hr, lr[,
+        seg])) in fixed-shape batches; returns stacked volumes + metrics.
+
+        The reference's per-volume path is SingleMedDataset + its batch-1
+        test loop (reference data.py:549-604, test.py:108); here slices run
+        `batch_size` at a time through the SAME compiled chain (the last
+        batch pads by repetition and the pad rows are dropped, so every
+        batch reuses one static-shape program).
+        """
+        key = key if key is not None else jax.random.PRNGKey(0)
+        n = len(dataset)
+        items = [dataset[i] for i in range(n)]
+        has_seg = len(items[0]) > 2
+        hr = np.stack([it[0] for it in items])
+        lr = np.stack([it[1] for it in items])
+        seg = np.stack([it[2] for it in items]) if has_seg else None
+
+        preds, masks, branched = [], [], []
+        region_losses = []
+        for i in range(0, n, batch_size):
+            sel = np.arange(i, min(i + batch_size, n))
+            pad = batch_size - len(sel)
+            idx = np.concatenate([sel, np.repeat(sel[-1:], pad)]) if pad else sel
+            key, sub = jax.random.split(key)
+            gt_m = None
+            if seg is not None and np.any(seg[idx] > 0):
+                gt_m = (seg[idx] > 0).astype(np.float32)
+            r = self.translate(lr[idx], hr=hr[idx], key=sub, gt_region=gt_m)
+            keep = slice(0, len(sel))
+            preds.append(np.asarray(r["pred"])[keep])
+            masks.append(np.asarray(r["mask"])[keep])
+            branched.append(bool(r["branched"]))
+            if "mse_ood_region" in r:
+                region_losses.append(float(r["mse_ood_region"]))
+            if verbose:
+                print(f"slices {i}-{i + len(sel) - 1}: mse={float(r['mse']):.5f} "
+                      f"branched={bool(r['branched'])}")
+        pred = np.concatenate(preds)
+        out = {
+            "pred_volume": pred,
+            "mask_volume": np.concatenate(masks),
+            "hr_volume": hr,
+            "lr_volume": lr,
+            "mse": np.asarray(np.mean((pred - hr) ** 2)),
+            "branched_batches": int(np.sum(branched)),
+        }
+        if region_losses:
+            out["mean_mse_ood_region"] = np.asarray(np.mean(region_losses))
+        if verbose:
+            print(f"volume MSE: {float(out['mse']):.5f} "
+                  f"({n} slices, {out['branched_batches']} branched batches)")
+        return out
