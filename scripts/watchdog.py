@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Stall watchdog: supervise a training command, auto-restart on freeze.
+
+The reference has no failure recovery at all (crash = SGE job death,
+resume = manual Trainer.load, SURVEY.md §5.3).  This repo's trainers
+auto-resume from `model-latest` on relaunch (scripts/train.py); the piece
+this adds is the *relaunch*: TPU runtimes can wedge (a device call that
+never returns — observed repeatedly over this environment's tunnel) or be
+preempted, and a wedged process neither exits nor progresses.  The watchdog
+declares a stall when the watched file's mtime stops advancing while the
+child is alive, kills the child by PID (never by name), waits out the
+device-lease cooldown, and relaunches — checkpoint auto-resume makes the
+cycle lossless back to the last milestone.
+
+    python scripts/watchdog.py --file results/proj/train_loss.csv \
+        --stall-seconds 300 --cooldown 240 --max-restarts 10 -- \
+        python -u scripts/train.py --config ... --steps 4800
+
+Exit code: the child's exit code once it terminates on its own (0 = done);
+nonzero child exits are also retried (crash recovery) up to --max-restarts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import subprocess
+import sys
+import time
+
+
+def _mtime(path: str) -> float:
+    try:
+        return os.stat(path).st_mtime
+    except OSError:
+        return 0.0
+
+
+def run(cmd, watch_file: str, stall_seconds: float, cooldown: float,
+        max_restarts: int, poll: float = 5.0, log=print) -> int:
+    restarts = 0
+    while True:
+        start = time.time()
+        log(f"[watchdog] launching (attempt {restarts + 1}): {' '.join(cmd)}")
+        child = subprocess.Popen(cmd)
+        try:
+            while True:
+                rc = child.poll()
+                if rc is not None:
+                    if rc == 0:
+                        log("[watchdog] child finished cleanly")
+                        return 0
+                    log(f"[watchdog] child exited rc={rc}")
+                    break  # crash → retry path below
+                progressed = max(_mtime(watch_file), start)
+                if time.time() - progressed > stall_seconds:
+                    log(f"[watchdog] STALL: {watch_file} silent "
+                        f"{time.time() - progressed:.0f}s — killing child")
+                    child.send_signal(signal.SIGTERM)
+                    try:
+                        child.wait(timeout=30)
+                    except subprocess.TimeoutExpired:
+                        child.kill()
+                        child.wait()
+                    break
+                time.sleep(poll)
+        except KeyboardInterrupt:
+            child.terminate()
+            raise
+        restarts += 1
+        if restarts > max_restarts:
+            log(f"[watchdog] giving up after {max_restarts} restarts")
+            return 1
+        log(f"[watchdog] cooling down {cooldown:.0f}s before relaunch "
+            "(device-lease recovery)")
+        time.sleep(cooldown)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--file", required=True,
+                    help="progress file to watch (e.g. the run's "
+                         "train_loss.csv — appended every step)")
+    ap.add_argument("--stall-seconds", type=float, default=300.0)
+    ap.add_argument("--cooldown", type=float, default=240.0,
+                    help="wait before relaunch (TPU lease recovery ~4 min)")
+    ap.add_argument("--max-restarts", type=int, default=10)
+    ap.add_argument("--poll", type=float, default=5.0)
+    ap.add_argument("cmd", nargs=argparse.REMAINDER,
+                    help="-- command to supervise")
+    args = ap.parse_args()
+    cmd = args.cmd[1:] if args.cmd and args.cmd[0] == "--" else args.cmd
+    if not cmd:
+        ap.error("no command given (use -- cmd ...)")
+    sys.exit(run(cmd, args.file, args.stall_seconds, args.cooldown,
+                 args.max_restarts, poll=args.poll))
+
+
+if __name__ == "__main__":
+    main()
