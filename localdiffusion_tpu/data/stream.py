@@ -87,10 +87,25 @@ class StreamLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_shards)
         SENTINEL = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that gives up when the consumer abandoned the
+            # epoch (generator closed mid-iteration) — otherwise the
+            # worker would block forever pinning decoded shards
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for k in order:
+                    if stop.is_set():
+                        return
                     arrays = self.shards[k]()
                     n = len(arrays[0])
                     assert n == self.sizes[k], (
@@ -101,20 +116,24 @@ class StreamLoader:
                         idx = np.arange(n)
                         np.random.default_rng((self.seed, e, int(k))).shuffle(idx)
                         arrays = tuple(a[idx] for a in arrays)
-                    q.put(arrays)
-                q.put(SENTINEL)
+                    if not _put(arrays):
+                        return
+                _put(SENTINEL)
             except BaseException as exc:  # surface decode errors to consumer
-                q.put(exc)
+                _put(exc)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is SENTINEL:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is SENTINEL:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
     def epoch_batches(self, epoch: Optional[int] = None) -> Iterator[Tuple]:
         e = self.epoch if epoch is None else epoch

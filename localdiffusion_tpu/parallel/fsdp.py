@@ -76,27 +76,27 @@ def state_shardings(trainer, mesh: Mesh, axis_name: str = "data") -> Any:
 
 def put_tree_sharded(tree: Any, shardings: Any) -> Any:
     """Place a host pytree onto per-leaf shardings (multi-host safe:
-    every process assembles only its addressable shards)."""
-    import numpy as np
+    every process assembles only its addressable shards via
+    multihost.put_tree's per-leaf contract)."""
+    from localdiffusion_tpu.parallel.multihost import put_tree
 
-    from localdiffusion_tpu.parallel.multihost import is_multiprocess
-
-    if not is_multiprocess():
-        return jax.tree_util.tree_map(jax.device_put, tree, shardings)
-
-    def put_leaf(x, sh):
-        x = np.asarray(x)
-        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
-
-    return jax.tree_util.tree_map(put_leaf, tree, shardings)
+    return jax.tree_util.tree_map(
+        lambda x, sh: put_tree(x, sh), tree, shardings
+    )
 
 
 def gather_tree(tree: Any, mesh: Mesh) -> Any:
     """All-gather a sharded pytree back to full replicas (e.g. params for a
     sampler compiled with replicated shardings, or host-side checkpointing
-    of an FSDP state)."""
+    of an FSDP state).
+
+    Compiled jit identity with replicated out_shardings rather than
+    per-leaf device_put: under a multi-process runtime the gather is then
+    a single collective program every process participates in (ALL
+    processes must call this together there)."""
     rep = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
+    shardings = jax.tree_util.tree_map(lambda _: rep, tree)
+    return jax.jit(lambda x: x, out_shardings=shardings)(tree)
 
 
 def shard_info(tree: Any) -> dict:

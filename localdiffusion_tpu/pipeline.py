@@ -253,22 +253,16 @@ class LocalDiffusionPipeline:
         seg = np.stack([it[2] for it in items]) if has_seg else None
 
         preds, masks, branched = [], [], []
-        region_losses = []
         for i in range(0, n, batch_size):
             sel = np.arange(i, min(i + batch_size, n))
             pad = batch_size - len(sel)
             idx = np.concatenate([sel, np.repeat(sel[-1:], pad)]) if pad else sel
             key, sub = jax.random.split(key)
-            gt_m = None
-            if seg is not None and np.any(seg[idx] > 0):
-                gt_m = (seg[idx] > 0).astype(np.float32)
-            r = self.translate(lr[idx], hr=hr[idx], key=sub, gt_region=gt_m)
+            r = self.translate(lr[idx], hr=hr[idx], key=sub)
             keep = slice(0, len(sel))
             preds.append(np.asarray(r["pred"])[keep])
             masks.append(np.asarray(r["mask"])[keep])
             branched.append(bool(r["branched"]))
-            if "mse_ood_region" in r:
-                region_losses.append(float(r["mse_ood_region"]))
             if verbose:
                 print(f"slices {i}-{i + len(sel) - 1}: mse={float(r['mse']):.5f} "
                       f"branched={bool(r['branched'])}")
@@ -281,8 +275,14 @@ class LocalDiffusionPipeline:
             "mse": np.asarray(np.mean((pred - hr) ** 2)),
             "branched_batches": int(np.sum(branched)),
         }
-        if region_losses:
-            out["mean_mse_ood_region"] = np.asarray(np.mean(region_losses))
+        # region metric from the DE-PADDED volume (computing it inside
+        # translate would count padded duplicate rows); same formula as
+        # translate's mse_ood_region
+        if seg is not None and np.any(seg > 0):
+            m = (seg > 0).astype(np.float32)
+            denom = max(float(m.sum()), 1.0)
+            err = (pred.astype(np.float32) - hr.astype(np.float32)) ** 2
+            out["mean_mse_ood_region"] = np.asarray(float((err * m).sum() / denom))
         if verbose:
             print(f"volume MSE: {float(out['mse']):.5f} "
                   f"({n} slices, {out['branched_batches']} branched batches)")

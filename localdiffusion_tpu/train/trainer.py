@@ -430,21 +430,35 @@ class Trainer:
         os.makedirs(self.results_dir, exist_ok=True)
         ckptr = ocp.StandardCheckpointer()
         if self.fsdp:
+            # collective gather — under multi-process EVERY rank must call
+            # save() (the write below is rank-0-only)
             from localdiffusion_tpu.parallel.fsdp import gather_tree
 
             state = gather_tree(state, self.mesh)
         state_host = jax.device_get(state)
+        # all ranks call save: Orbax's checkpointer is itself collective
+        # under a multi-process runtime (internal sync_global_devices
+        # barriers) and coordinates so only the primary writes
         ckptr.save(path, state_host, force=True)
         ckptr.wait_until_finished()
         return path
+
+    def _host_template(self) -> TrainState:
+        """Host-side zeros TrainState from eval_shape — no device compute,
+        and safe when live states are sharded across processes."""
+        import numpy as np
+
+        abstract = jax.eval_shape(self._build_state, jax.random.PRNGKey(0))
+        return jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), abstract
+        )
 
     def load(self, milestone: str, rng=None) -> TrainState:
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(self.results_dir, f"model-{milestone}"))
         ckptr = ocp.StandardCheckpointer()
-        template = jax.device_get(self.init_state(rng if rng is not None else jax.random.PRNGKey(0)))
-        restored = ckptr.restore(path, template)
+        restored = ckptr.restore(path, self._host_template())
         state = restored
         if self.mesh is not None:
             from localdiffusion_tpu.parallel.fsdp import put_tree_sharded

@@ -49,5 +49,9 @@ def load_params_npz(path: str, template: Any) -> Any:
             raise ValueError(
                 f"shape mismatch for {key}: {arr.shape} vs {np.shape(leaf)}"
             )
-        out.append(np.asarray(arr, dtype=np.asarray(leaf).dtype))
+        # leaf.dtype, not np.asarray(leaf).dtype: template leaves may be
+        # ShapeDtypeStructs or arrays sharded across processes, where
+        # materializing the values is impossible — only shape/dtype needed
+        dtype = getattr(leaf, "dtype", None) or np.asarray(leaf).dtype
+        out.append(np.asarray(arr, dtype=dtype))
     return jax.tree_util.tree_unflatten(treedef, out)

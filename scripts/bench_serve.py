@@ -71,10 +71,16 @@ def main():
     # not content-dependent — the chain is a static program)
     images = rng.uniform(0.0, 2.0, (32, size, size, ch)).astype(np.float32)
 
-    with InferenceServer(pipe, batch_size=args.batch_size,
-                         max_wait_ms=args.max_wait_ms) as srv:
-        # warmup: compile plain + branched chains before timing
+    if args.clients > args.requests:
+        args.clients = args.requests
+    srv = InferenceServer(pipe, batch_size=args.batch_size,
+                          max_wait_ms=args.max_wait_ms)
+    try:
+        # warmup: the server's own warmup compiles BOTH the plain and the
+        # branched chain (a single request would compile only the chain it
+        # happens to route to, pushing the other compile into the timing)
         t_build = time.time()
+        srv.start(warmup=True)
         srv.submit(images[0]).result()
         warmup_s = time.time() - t_build
 
@@ -99,6 +105,8 @@ def main():
             t.join()
         dt = time.time() - t0
         stats = srv.snapshot_stats()
+    finally:
+        srv.stop()
 
     n = len(latencies)
     lat = np.array(latencies)

@@ -234,15 +234,26 @@ def main():
         from localdiffusion_tpu.utils.params_io import load_params_npz
 
         loaded = load_params_npz(args.init_npz, state.params)
-        state = state.replace(
-            params=loaded,
-            ema_params=jax.tree_util.tree_map(jnp.copy, loaded),
-        )
-        if trainer.mesh is not None:
+        if trainer.mesh is None:
+            state = state.replace(
+                params=loaded,
+                ema_params=jax.tree_util.tree_map(jnp.copy, loaded),
+            )
+        else:
+            # rebuild the whole state on host (a live FSDP state can't be
+            # device_get across processes) and re-place it sharded
             from localdiffusion_tpu.parallel.fsdp import put_tree_sharded
+            from localdiffusion_tpu.train.trainer import TrainState
 
+            opt_host = jax.device_get(trainer.optimizer.init(loaded))
+            host_state = TrainState(
+                step=np.zeros((), np.int32),
+                params=loaded,
+                opt_state=opt_host,
+                ema_params=jax.tree_util.tree_map(np.copy, loaded),
+            )
             state = put_tree_sharded(
-                jax.device_get(state),
+                host_state,
                 trainer._state_sharding(broadcast=not trainer.fsdp),
             )
         print(f"warm-started params from {args.init_npz}")
@@ -289,8 +300,9 @@ def main():
     timer = Timer()
 
     def save_ckpt(st, milestone):
-        if is_primary():
-            trainer.save(st, milestone)
+        # every rank calls save (FSDP gather inside is collective); the
+        # actual write is rank-0-gated inside Trainer.save
+        trainer.save(st, milestone)
         sync("ckpt")
 
     if args.step_mode == "resident":

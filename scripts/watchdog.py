@@ -38,8 +38,10 @@ def _mtime(path: str) -> float:
 
 
 def run(cmd, watch_file: str, stall_seconds: float, cooldown: float,
-        max_restarts: int, poll: float = 5.0, log=print) -> int:
+        max_restarts: int, poll: float = 5.0,
+        startup_grace: float = 1800.0, log=print) -> int:
     restarts = 0
+    last_rc = 1
     while True:
         start = time.time()
         log(f"[watchdog] launching (attempt {restarts + 1}): {' '.join(cmd)}")
@@ -52,9 +54,17 @@ def run(cmd, watch_file: str, stall_seconds: float, cooldown: float,
                         log("[watchdog] child finished cleanly")
                         return 0
                     log(f"[watchdog] child exited rc={rc}")
+                    last_rc = rc
                     break  # crash → retry path below
-                progressed = max(_mtime(watch_file), start)
-                if time.time() - progressed > stall_seconds:
+                # until the progress file first advances past launch, the
+                # child may legitimately be compiling (cold XLA cache runs
+                # for many minutes with no output) — use the longer grace
+                mt = _mtime(watch_file)
+                if mt > start:
+                    progressed, limit = mt, stall_seconds
+                else:
+                    progressed, limit = start, max(startup_grace, stall_seconds)
+                if time.time() - progressed > limit:
                     log(f"[watchdog] STALL: {watch_file} silent "
                         f"{time.time() - progressed:.0f}s — killing child")
                     child.send_signal(signal.SIGTERM)
@@ -67,11 +77,16 @@ def run(cmd, watch_file: str, stall_seconds: float, cooldown: float,
                 time.sleep(poll)
         except KeyboardInterrupt:
             child.terminate()
+            try:
+                child.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                child.kill()
+                child.wait()
             raise
         restarts += 1
         if restarts > max_restarts:
             log(f"[watchdog] giving up after {max_restarts} restarts")
-            return 1
+            return last_rc if last_rc != 0 else 1
         log(f"[watchdog] cooling down {cooldown:.0f}s before relaunch "
             "(device-lease recovery)")
         time.sleep(cooldown)
@@ -87,6 +102,11 @@ def main():
                     help="wait before relaunch (TPU lease recovery ~4 min)")
     ap.add_argument("--max-restarts", type=int, default=10)
     ap.add_argument("--poll", type=float, default=5.0)
+    ap.add_argument("--startup-grace", type=float, default=1800.0,
+                    help="stall budget before the progress file's first "
+                         "write (cold-cache XLA compiles run silently for "
+                         "many minutes; killing mid-compile also never "
+                         "populates the cache)")
     ap.add_argument("cmd", nargs=argparse.REMAINDER,
                     help="-- command to supervise")
     args = ap.parse_args()
@@ -94,7 +114,8 @@ def main():
     if not cmd:
         ap.error("no command given (use -- cmd ...)")
     sys.exit(run(cmd, args.file, args.stall_seconds, args.cooldown,
-                 args.max_restarts, poll=args.poll))
+                 args.max_restarts, poll=args.poll,
+                 startup_grace=args.startup_grace))
 
 
 if __name__ == "__main__":

@@ -93,11 +93,31 @@ def main():
     # all-gather/reduce-scatter collectives cross processes
     from localdiffusion_tpu.parallel.fsdp import shard_info
 
-    tr_f = Trainer(gd, TrainConfig(lr=1e-3), mesh=mesh, fsdp=True)
+    tr_f = Trainer(
+        gd,
+        TrainConfig(lr=1e-3, results_dir=args.out, project_name="fsdp_mh"),
+        mesh=mesh,
+        fsdp=True,
+    )
     state_f = tr_f.init_state(key)
     assert shard_info(state_f)["memory_scaling"] > 1.5
     state_f2, loss_f = tr_f.train_batch_step(state_f, hr, lr, key)
     assert int(np.asarray(state_f2.step)) == 1
+
+    # FSDP checkpoint round-trip across processes: save() gathers
+    # collectively (every rank calls it; rank-0 writes), load() restores
+    # from a host template and re-shards — the recovery path the watchdog
+    # relies on
+    from localdiffusion_tpu.parallel.fsdp import gather_tree
+
+    tr_f.save(state_f2, "rt")
+    sync("fsdp_ckpt")
+    restored = tr_f.load("rt")
+    assert shard_info(restored)["memory_scaling"] > 1.5
+    a = jax.device_get(gather_tree(state_f2.params, mesh))
+    b = jax.device_get(gather_tree(restored.params, mesh))
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
     if is_primary():
         leaves = [np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(g)]

@@ -88,6 +88,33 @@ def test_size_mismatch_detected():
         list(ld.epoch_batches(0))
 
 
+def test_abandoned_epoch_stops_worker():
+    """Closing the generator mid-epoch must stop the decode thread instead
+    of leaving it blocked on the bounded queue with shards pinned."""
+    import time
+
+    loads = []
+
+    def make_shard(i):
+        def load():
+            loads.append(i)
+            x = np.full((4, 3), float(i), np.float32)
+            return (x, -x)
+
+        return load
+
+    ld = StreamLoader([make_shard(i) for i in range(6)], [4] * 6,
+                      batch_size=2, prefetch_shards=1, shuffle=False)
+    it = ld.epoch_batches(0)
+    next(it)
+    it.close()  # GeneratorExit → stop event
+    time.sleep(0.6)
+    n_after_close = len(loads)
+    time.sleep(0.6)
+    assert len(loads) == n_after_close  # worker exited, no further decodes
+    assert n_after_close < 6  # and it never decoded the whole epoch
+
+
 def test_device_prefetch_same_data():
     sizes = [5, 6]
     ld = StreamLoader(_shards(sizes), sizes, batch_size=4, seed=1)

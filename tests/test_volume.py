@@ -64,10 +64,7 @@ def test_translate_volume_shapes_and_padding(pipe):
     assert "mean_mse_ood_region" in out  # seg given → region metric
 
 
-def test_translate_volume_batching_invariance(pipe):
-    """Same key path per batch index differs, but padding must not change
-    the unpadded rows: batch=5 (exact) vs batch=4 (pad) first-4 rows of the
-    FIRST batch agree because the first batch is identical."""
+def test_translate_volume_deterministic(pipe):
     t1, flair, seg = _volume(2)
     ds = BRATSVolumeDataset.single_volume(pipe.config.data, t1, flair, seg=seg,
                                           crop=S, mode="flair")
@@ -75,6 +72,27 @@ def test_translate_volume_batching_invariance(pipe):
     out4 = pipe.translate_volume(ds, batch_size=4, verbose=False, key=k)
     out4b = pipe.translate_volume(ds, batch_size=4, verbose=False, key=k)
     np.testing.assert_allclose(out4["pred_volume"], out4b["pred_volume"])
+
+
+def test_translate_volume_pad_rows_align(pipe):
+    """The de-padded tail must equal a direct translate of the padded
+    batch: pred_volume[4] is row 0 of translate(lr[[4,4,4,4]]) under the
+    second key split — a misaligned `keep` slice would break this."""
+    t1, flair, seg = _volume(2)
+    ds = BRATSVolumeDataset.single_volume(pipe.config.data, t1, flair, seg=seg,
+                                          crop=S, mode="flair")
+    k = jax.random.PRNGKey(3)
+    out4 = pipe.translate_volume(ds, batch_size=4, verbose=False, key=k)
+
+    items = [ds[i] for i in range(len(ds))]
+    hr = np.stack([it[0] for it in items])
+    lr = np.stack([it[1] for it in items])
+    k1, sub0 = jax.random.split(k)
+    _, sub1 = jax.random.split(k1)
+    idx = np.array([4, 4, 4, 4])
+    r = pipe.translate(lr[idx], hr=hr[idx], key=sub1)
+    np.testing.assert_allclose(out4["pred_volume"][4],
+                               np.asarray(r["pred"])[0])
 
 
 def test_translate_volume_no_seg(pipe):

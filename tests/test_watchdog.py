@@ -50,7 +50,7 @@ def test_stall_is_killed_and_relaunched_resume_completes(tmp_path):
         time.sleep(3600)                     # wedge: alive, no progress
     """)
     r = _run(["--file", str(progress), "--stall-seconds", "3",
-              "--cooldown", "0", "--poll", "0.5",
+              "--startup-grace", "3", "--cooldown", "0", "--poll", "0.5",
               "--", sys.executable, child])
     assert r.returncode == 0, r.stdout + r.stderr
     assert "STALL" in r.stdout
@@ -66,6 +66,22 @@ def test_crash_is_retried_then_gives_up(tmp_path):
     r = _run(["--file", str(progress), "--stall-seconds", "60",
               "--cooldown", "0", "--max-restarts", "2",
               "--", sys.executable, child])
-    assert r.returncode == 1
+    assert r.returncode == 3  # documented contract: the child's exit code
     assert r.stdout.count("exited rc=3") == 3  # initial + 2 retries
     assert "giving up" in r.stdout
+
+
+def test_cold_compile_grace_not_killed(tmp_path):
+    """A child that is silent for longer than --stall-seconds but within
+    --startup-grace (cold-cache compile) must NOT be killed."""
+    progress = tmp_path / "progress.txt"
+    child = _child_script(tmp_path, f"""
+        import time
+        time.sleep(4)                        # 'compiling': > stall budget
+        open({str(progress)!r}, "w").write("step 0")
+    """)
+    r = _run(["--file", str(progress), "--stall-seconds", "1",
+              "--startup-grace", "30", "--cooldown", "0", "--poll", "0.5",
+              "--", sys.executable, child])
+    assert r.returncode == 0
+    assert "STALL" not in r.stdout
