@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--clients", type=int, default=16)
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--max-wait-ms", type=float, default=30.0)
+    ap.add_argument("--dtype", choices=["float32", "bfloat16"], default=None,
+                    help="compute dtype override (bf16 chains run 2-5x faster)")
     args = ap.parse_args()
 
     from localdiffusion_tpu.utils.logging import (
@@ -58,6 +60,10 @@ def main():
     from localdiffusion_tpu.serving import InferenceServer
 
     cfg = load_config(args.config)
+    if args.dtype:
+        cfg = cfg.replace(
+            train=dataclasses.replace(cfg.train, compute_dtype=args.dtype)
+        )
     if args.detector:
         cfg = cfg.replace(ood=dataclasses.replace(cfg.ood, detector=args.detector))
     pipe = build_pipeline(cfg, milestone=args.milestone,

@@ -40,6 +40,10 @@ def build_pipeline(args):
     from localdiffusion_tpu.factory import build_pipeline as factory_build
 
     cfg = load_config(args.config)
+    if getattr(args, "dtype", None):
+        cfg = cfg.replace(
+            train=dataclasses.replace(cfg.train, compute_dtype=args.dtype)
+        )
     if args.detector:
         cfg = cfg.replace(ood=dataclasses.replace(cfg.ood, detector=args.detector))
     return factory_build(cfg, milestone=args.milestone,
@@ -109,6 +113,8 @@ def main():
     ap.add_argument("--port", type=int, default=8800)
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--max-wait-ms", type=float, default=50.0)
+    ap.add_argument("--dtype", choices=["float32", "bfloat16"], default=None,
+                    help="compute dtype override (bf16 chains run 2-5x faster)")
     args = ap.parse_args()
 
     from localdiffusion_tpu.serving import InferenceServer

@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--mask-dilate", type=int, default=None,
                     help="override ood.mask_dilate (mask-growing EXTENSION; "
                          "0 = exact reference semantics)")
+    ap.add_argument("--dtype", choices=["float32", "bfloat16"], default=None,
+                    help="compute dtype override (bf16 chains run 2-5x "
+                         "faster; output parity measured — docs/PERFORMANCE)")
     args = ap.parse_args()
 
     from scripts.train import load_config
@@ -49,6 +52,10 @@ def main():
     cfg = load_config(args.config)
     import dataclasses
 
+    if args.dtype:
+        cfg = cfg.replace(
+            train=dataclasses.replace(cfg.train, compute_dtype=args.dtype)
+        )
     if args.detector:
         cfg = cfg.replace(ood=dataclasses.replace(cfg.ood, detector=args.detector))
     if args.mask_dilate is not None:
