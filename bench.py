@@ -315,8 +315,8 @@ def main():
                 record["mfu_256px"] = round(tflops256 / peak, 4)
         # exact s2d layout execution of the SAME faithful architecture
         # (models/unet_s2d.py: same params, same outputs, no retraining);
-        # auto fold depth (exact_layout_s2d_stages=0 → every lane-starved
-        # leading level, 2 for this arch)
+        # auto fold depth (exact_layout_s2d_stages=0 → 1 level: only the
+        # full-res stage — deeper folds measured slower on-chip)
         _, ips_exact, _, tflops_exact = measure_tpu(
             batch=4, timesteps=args.timesteps, image_size=256,
             four_stage=True, bf16=args.bf16, exact_s2d=True,

@@ -77,11 +77,11 @@ class ModelConfig:
     # 1 = off; 2 = fold 2×2 blocks.
     exact_layout_s2d: int = 0
     # How many leading UNet resolution levels run in the exact s2d layout.
-    # 1 = only the full-res stage (round-2 behavior).  2 also folds the next
-    # stage (e.g. C=32@128² of the 4-stage 256px arch — in_out[1], which
-    # underfills the 128 TPU lanes just like stage 0); boundaries cross via
-    # cheap half/quarter-res s2d copies.  0 = auto (all levels whose
-    # channel width underfills the 128 lanes, capped at num_stages-1).
+    # 1 = only the full-res stage.  2 also folds the next stage (e.g.
+    # C=32@128² of the 4-stage 256px arch — in_out[1]); boundaries cross via
+    # cheap half/quarter-res s2d copies.  0 = auto, which resolves to 1:
+    # folding deeper levels was measured SLOWER on-chip (see
+    # resolve_s2d_stages).  Explicit values cap at num_stages-1.
     exact_layout_s2d_stages: int = 0
 
     def __post_init__(self):
@@ -101,7 +101,7 @@ class ModelConfig:
         if self.exact_layout_s2d_stages < 0:
             raise ValueError("exact_layout_s2d_stages: 0=auto, >=1 explicit")
 
-    def resolve_s2d_stages(self, f: int) -> int:
+    def resolve_s2d_stages(self) -> int:
         """Number of leading resolution levels the exact s2d execution folds.
 
         auto (0) = 1: only the full-resolution stage.  Folding level 1 too

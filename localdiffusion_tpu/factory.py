@@ -29,9 +29,13 @@ def build_gd(cfg: Config):
 
 
 def load_params(cfg: Config, gd=None, milestone: str = "latest",
-                params_npz: Optional[str] = None, verbose: bool = True):
+                params_npz: Optional[str] = None, verbose: bool = True,
+                strict: bool = False):
     """EMA params for inference (reference test.py:144-147), from a slim
-    npz snapshot or an Orbax milestone; random init as last resort."""
+    npz snapshot or an Orbax milestone; random init as last resort unless
+    `strict` — a deployment (scripts/serve.py) must fail startup on a
+    missing/corrupt checkpoint rather than silently serve random-init
+    predictions (ADVICE r2)."""
     from localdiffusion_tpu.train.trainer import Trainer
 
     gd = gd if gd is not None else build_gd(cfg)
@@ -49,6 +53,11 @@ def load_params(cfg: Config, gd=None, milestone: str = "latest",
         if verbose:
             print(f"loaded milestone {milestone}")
     except Exception as e:
+        if strict:
+            raise RuntimeError(
+                f"checkpoint milestone {milestone!r} could not be loaded "
+                f"({e}); refusing to serve random-init params"
+            ) from e
         if verbose:
             print(f"WARNING: no checkpoint ({e}); using random init")
         state = trainer.init_state(jax.random.PRNGKey(0))
@@ -196,7 +205,7 @@ def build_classifier_gate(cfg: Config, frontend=None, calibration_pairs=None,
 def build_pipeline(cfg: Config, milestone: str = "latest",
                    params_npz: Optional[str] = None,
                    calibration_images=None, calibration_pairs=None,
-                   verbose: bool = True):
+                   verbose: bool = True, strict: bool = False):
     """One-call pipeline construction (the library equivalent of
     scripts/test.py's setup).  Raises for detector='seg' without a trained
     seg checkpoint — the ground-truth-mask fallback is a script-level
@@ -205,7 +214,7 @@ def build_pipeline(cfg: Config, milestone: str = "latest",
 
     gd = build_gd(cfg)
     params = load_params(cfg, gd, milestone=milestone, params_npz=params_npz,
-                         verbose=verbose)
+                         verbose=verbose, strict=strict)
     frontend, cfg = build_frontend(cfg, calibration_images=calibration_images,
                                    verbose=verbose)
     if frontend is None and cfg.ood.detector == "seg":

@@ -465,7 +465,7 @@ def apply_unet_s2d(
         x.shape[1], x.shape[2]
     )
     n_fold = (
-        s2d_stages if s2d_stages is not None else cfg.resolve_s2d_stages(f)
+        s2d_stages if s2d_stages is not None else cfg.resolve_s2d_stages()
     )
     assert f > 1 and cfg.stem_space_to_depth == 1, (
         "exact_layout_s2d applies to the faithful (stem_space_to_depth=1) arch"

@@ -19,7 +19,7 @@ import os
 from localdiffusion_tpu.config import Config
 from localdiffusion_tpu.ood.patchcore import PatchCore
 from localdiffusion_tpu.ood.thresholds import (
-    dilate_mask,
+    dilate_with_backoff,
     ladder_for,
     load_ladder,
     manual_mask,
@@ -115,9 +115,14 @@ class OODFrontend:
             probs = jax.nn.sigmoid(logits)
             binary = (np.asarray(probs) > 0.5).astype(np.float32)
             if cfg.ood.mask_dilate > 0:
-                binary = np.stack(
-                    [dilate_mask(m, cfg.ood.mask_dilate) for m in binary]
-                )
+                # same saturation back-off as the patchcore path: never
+                # dilate a detected mask into the uniform-ones bypass
+                # sentinel (ADVICE r2: a saturated seg mask silently routed
+                # the anomaly onto the PLAIN chain)
+                binary = np.stack([
+                    dilate_with_backoff(m, m, cfg.ood.mask_dilate)[1]
+                    for m in binary
+                ])
             return binary, binary.copy(), np.asarray(probs)
 
         # patchcore

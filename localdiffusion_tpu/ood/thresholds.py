@@ -150,6 +150,25 @@ def dilate_mask(m: np.ndarray, radius: int) -> np.ndarray:
     return out
 
 
+def dilate_with_backoff(
+    mask: np.ndarray, binary: np.ndarray, radius: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Dilate ONE image's (soft mask, binary mask) by up to `radius` steps,
+    backing off before the binary saturates to all-ones: a mask dilated to
+    uniform ones would collide with the uniform-ones bypass sentinel
+    (pipeline.py) and silently route a detected anomaly onto the PLAIN
+    chain — the opposite of what dilation is for.  Uniform-ones inputs
+    (bypass masks) pass through untouched."""
+    if binary.min() >= 1.0:
+        return mask, binary
+    for _ in range(int(radius)):
+        b_next = dilate_mask(binary, 1)
+        if b_next.min() >= 1.0:
+            break
+        mask, binary = dilate_mask(mask, 1), b_next
+    return mask, binary
+
+
 def soft_mask_from_map(
     anomaly_map: np.ndarray, ladder: ThresholdLadder, dilate: int = 0
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -168,20 +187,9 @@ def soft_mask_from_map(
     masks, binaries = list(masks), list(binaries)
     if dilate > 0:
         for i in range(len(masks)):
-            if binaries[i].min() >= 1.0:
-                continue  # uniform-ones bypass mask: leave untouched
-            # dilate one step at a time and back off before saturation: a
-            # mask dilated to all-ones would collide with the uniform-ones
-            # bypass sentinel (pipeline.py:110) and silently flip a detected
-            # anomaly onto the PLAIN chain — the opposite of what dilation
-            # is for.
-            m, b = masks[i], binaries[i]
-            for _ in range(int(dilate)):
-                b_next = dilate_mask(b, 1)
-                if b_next.min() >= 1.0:
-                    break
-                m, b = dilate_mask(m, 1), b_next
-            masks[i], binaries[i] = m, b
+            masks[i], binaries[i] = dilate_with_backoff(
+                masks[i], binaries[i], dilate
+            )
     return np.stack(masks), np.stack(binaries)
 
 

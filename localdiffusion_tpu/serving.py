@@ -98,6 +98,16 @@ class InferenceServer:
         if self._worker is not None:
             self._worker.join(timeout=60)
             self._worker = None
+        # requests still queued will never be processed — fail their
+        # futures so callers blocked in result(timeout=...) return now
+        # instead of hanging until their timeout
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not req.future.done():
+                req.future.set_exception(RuntimeError("server stopped"))
 
     def __enter__(self):
         return self.start()
@@ -198,8 +208,9 @@ class InferenceServer:
             lr = self._pad([r.lr for r in group])
             mask = self._pad([r.mask for r in group])
             res = self.pipe.translate(lr, key=key, mask=mask)
-            self.stats["branched_dispatches" if is_branched else "plain_dispatches"] += 1
-            self.stats["padded_slots"] += self.batch_size - len(group)
+            with self._lock:  # snapshot_stats reads from another thread
+                self.stats["branched_dispatches" if is_branched else "plain_dispatches"] += 1
+                self.stats["padded_slots"] += self.batch_size - len(group)
             for i, r in enumerate(group):
                 outs[id(r)] = {
                     "pred": res["pred"][i],

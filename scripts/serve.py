@@ -46,8 +46,11 @@ def build_pipeline(args):
         )
     if args.detector:
         cfg = cfg.replace(ood=dataclasses.replace(cfg.ood, detector=args.detector))
+    # strict: a serving deployment must fail startup on a missing/corrupt
+    # checkpoint instead of silently serving random-init predictions
     return factory_build(cfg, milestone=args.milestone,
-                         params_npz=args.params_npz)
+                         params_npz=args.params_npz,
+                         strict=not getattr(args, "allow_random_init", False))
 
 
 def make_handler(server, channels):
@@ -115,6 +118,9 @@ def main():
     ap.add_argument("--max-wait-ms", type=float, default=50.0)
     ap.add_argument("--dtype", choices=["float32", "bfloat16"], default=None,
                     help="compute dtype override (bf16 chains run 2-5x faster)")
+    ap.add_argument("--allow-random-init", action="store_true",
+                    help="serve random-init params when no checkpoint loads "
+                         "(smoke tests only; default is to fail startup)")
     args = ap.parse_args()
 
     from localdiffusion_tpu.serving import InferenceServer

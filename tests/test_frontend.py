@@ -59,6 +59,25 @@ def test_seg_detector():
     assert probs is not None
 
 
+def test_seg_dilate_backs_off_before_saturation():
+    """A seg mask dilated with a huge radius must stop before becoming
+    uniform ones — all-ones collides with the bypass sentinel and would
+    route a DETECTED anomaly onto the plain chain (ADVICE r2 medium)."""
+    import dataclasses
+
+    def seg_apply(x):
+        b, h, w, _ = x.shape
+        logits = jnp.full((b, h, w, 1), -5.0)
+        return logits.at[:, :, : w // 4, :].set(5.0)
+
+    cfg = mk_config("seg")
+    cfg = cfg.replace(ood=dataclasses.replace(cfg.ood, mask_dilate=64))
+    fe = OODFrontend(cfg, seg_apply=seg_apply)
+    mask, binary, _ = fe.detect(np.zeros((1, 16, 16, 1), np.float32))
+    assert binary.min() < 1.0  # never saturates to the bypass sentinel
+    assert binary.sum() > 4 * 16  # but it did dilate beyond the raw region
+
+
 def test_detector_requires_dependency():
     with pytest.raises(ValueError):
         OODFrontend(mk_config("patchcore"))

@@ -119,6 +119,17 @@ def test_submit_rejects_batched_input(pipe):
         srv.submit(np.zeros((2, S, S, 1), np.float32))
 
 
+def test_stop_drains_queued_requests(pipe):
+    """Requests still queued at stop() must resolve (with an error), not
+    leave callers hanging until their result() timeout (ADVICE r2)."""
+    srv = InferenceServer(pipe, batch_size=4, max_wait_ms=10)
+    # never started: the queue drains in stop() without a worker race
+    fut = srv.submit(_img(0))
+    srv.stop()
+    with pytest.raises(RuntimeError, match="server stopped"):
+        fut.result(timeout=1)
+
+
 def test_factory_builds_running_pipeline(tmp_path):
     """build_pipeline: config → pipeline without any script plumbing
     (random init fallback; detector 'none' → plain chain)."""
@@ -137,3 +148,10 @@ def test_factory_builds_running_pipeline(tmp_path):
     r = pipe2.translate(np.stack([_img(0)]))
     assert r["pred"].shape == (1, S, S, 1)
     assert not bool(r["branched"])  # uniform mask → plain bypass
+
+    # strict mode: a missing checkpoint fails construction instead of
+    # silently serving random-init predictions (ADVICE r2)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="random-init"):
+        build_pipeline(cfg, verbose=False, strict=True)

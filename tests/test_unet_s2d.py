@@ -294,10 +294,10 @@ def test_resolve_s2d_stages_auto():
     resolve_s2d_stages); explicit values clamp to num_stages-1."""
     cfg = ModelConfig(dim=32, init_dim=32, dim_mults=(1, 2, 4, 8),
                       full_attn=(False,) * 4)
-    assert cfg.resolve_s2d_stages(2) == 1
+    assert cfg.resolve_s2d_stages() == 1
     two = ModelConfig(dim=32, dim_mults=(1, 2, 4, 8), full_attn=(False,) * 4,
                       exact_layout_s2d_stages=2)
-    assert two.resolve_s2d_stages(2) == 2
+    assert two.resolve_s2d_stages() == 2
     explicit = ModelConfig(dim=32, dim_mults=(1, 2), full_attn=(False, False),
                            exact_layout_s2d_stages=5)
-    assert explicit.resolve_s2d_stages(2) == 1  # clamped to num_stages-1
+    assert explicit.resolve_s2d_stages() == 1  # clamped to num_stages-1
