@@ -301,14 +301,33 @@ class OODConfig:
     # pixels of grey dilation before branching.  Under-segmenting detectors
     # (e.g. mask-IoU 0.45 at 256px, docs/STATUS.md) leave a halo of OOD
     # pixels un-branched; dilation trades a little extra branched area for
-    # recovering them.  0 = off (exact reference semantics).
+    # recovering them.  0 = off (exact reference semantics); -1 = auto —
+    # derived from detector stats instead of hand-tuned (VERDICT r2 item 5):
+    # for patchcore, one feature cell of the COARSEST backbone layer used,
+    # expressed in output pixels (the anomaly map cannot localize a boundary
+    # finer than its feature stride, so the halo of missed OOD pixels is at
+    # most ~one cell wide — stride 16 at input 224 → 16·256/224 ≈ 18px at
+    # 256px, matching the hand-found 16); for seg (full-res masks) and
+    # manual/none, auto resolves to 0.
     mask_dilate: int = 0
+
+    # feature stride of each supported WRN50-2 tap (ood/wide_resnet.py)
+    _LAYER_STRIDE = {"layer1": 4, "layer2": 8, "layer3": 16, "layer4": 32}
+
+    def resolved_mask_dilate(self, image_size: int) -> int:
+        """Dilation radius in output pixels; resolves the -1 auto sentinel."""
+        if self.mask_dilate >= 0:
+            return self.mask_dilate
+        if self.detector != "patchcore":
+            return 0
+        stride = max(self._LAYER_STRIDE.get(l, 8) for l in self.layers)
+        return max(1, round(stride * image_size / self.input_size))
 
     def __post_init__(self):
         if self.detector not in ("patchcore", "seg", "manual", "none"):
             raise ValueError(f"unknown ood detector {self.detector}")
-        if self.mask_dilate < 0:
-            raise ValueError("mask_dilate must be >= 0")
+        if self.mask_dilate < -1:
+            raise ValueError("mask_dilate must be >= 0, or -1 for auto")
 
 
 @dataclass(frozen=True)

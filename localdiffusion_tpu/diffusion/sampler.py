@@ -121,6 +121,21 @@ def fuse_noisy_states(
 ClassifierFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
+def _maybe_unnorm(gd: GaussianDiffusion, x):
+    """Unnormalize sampler output back to [0,1] when auto_normalize is on.
+
+    The reference ends every sample path with `self.unnormalize(ret)`
+    (ddpm.py:619-620, 972, 1074) — the inverse of the [0,1]→[-1,1]
+    normalization its loss applies.  Applied at every sampler exit so
+    auto_normalize never skews train/sample ranges (all shipped configs use
+    auto_normalize=False, matching the reference's own setting)."""
+    if x is None or not gd.diff_cfg.auto_normalize:
+        return x
+    from localdiffusion_tpu.ops.diffusion_math import unnormalize_to_zero_to_one
+
+    return unnormalize_to_zero_to_one(x)
+
+
 def _noise_like(key, x, t):
     """Per-step noise, zeroed at t == 0 (reference ddpm.py:852, 857)."""
     n = jax.random.normal(key, x.shape, dtype=x.dtype)
@@ -183,8 +198,9 @@ def ddpm_sample_plain(
     if return_all:
         # include the initial noise like the reference (imgs = [img],
         # ddpm.py:946) → T+1 frames
-        return img, jnp.concatenate([img0[None], ys], axis=0)
-    return img
+        frames = jnp.concatenate([img0[None], ys], axis=0)
+        return _maybe_unnorm(gd, img), _maybe_unnorm(gd, frames)
+    return _maybe_unnorm(gd, img)
 
 
 def ddpm_sample_branched(
@@ -211,6 +227,14 @@ def ddpm_sample_branched(
     the per-sample first-acceptance timestep of the classifier gate
     ([B] int32, the reference's `fusion_time.npy` diagnostic,
     ddpm.py:902-903; default = num_timesteps when the gate never ran).
+
+    `return_all` → (final, frames) with frames [T+1, 2, B, H, W, C]: the
+    initial noise, one frame per step — the (OOD, IND) branch pair while
+    branched, the fused image DUPLICATED on the pair axis once fused.  The
+    reference collects per-step frames too (ddpm.py:946, 964-969) but its
+    `torch.stack(imgs, dim=1)` mixes [B] tensors with [out,in] pair lists
+    and cannot actually stack once branching ran; the homogeneous pair-axis
+    layout here is the working equivalent (scan requires static shapes).
     """
     scfg = reconcile(scfg)
     sched = gd.schedule
@@ -288,19 +312,25 @@ def ddpm_sample_branched(
 
     s = int(scfg.start_timestep)
 
+    def _dup(x):
+        """Duplicate a fused [B,...] frame onto the pair axis → [2,B,...]."""
+        return jnp.stack([x, x])
+
     if not scfg.start_intermediate:
         # branched all the way down; returns the pair (ddpm.py:965-970)
         ts = jnp.arange(t_top - 1, -1, -1)
         (X2, _), ys = jax.lax.scan(branched_step, (X2, key), ts)
         pair = X2.reshape(2, b, *X2.shape[1:])
         if return_all:
-            return pair, ys
-        return pair
+            frames = jnp.concatenate([_dup(img0)[None], ys], axis=0)
+            return _maybe_unnorm(gd, pair), _maybe_unnorm(gd, frames)
+        return _maybe_unnorm(gd, pair)
 
     # ---- phase A: branched steps t ∈ [T-1 .. s+1] ----
+    ys_a = None
     if t_top - 1 > s:
         ts = jnp.arange(t_top - 1, s, -1)
-        (X2, key), _ = jax.lax.scan(branched_step, (X2, key), ts)
+        (X2, key), ys_a = jax.lax.scan(branched_step, (X2, key), ts)
 
     # ---- fusion at t = s (ddpm.py:779-810) ----
     debug_state = {}
@@ -330,17 +360,28 @@ def ddpm_sample_branched(
     key, fk = jax.random.split(key)
     t_fuse = min(s, t_top - 1)
     img, x_branchout2 = fuse_step(X2, t_fuse, fk, capture_debug=return_debug)
+    fusion_frame = img
 
     use_classifier = scfg.classifier and classifier_fn is not None
     accept_t = jnp.full((b,), gd.num_timesteps, jnp.int32)
 
-    def _ret(img, accept_t):
+    def _ret(img, accept_t, frames_b=None):
+        out = [_maybe_unnorm(gd, img)]
+        if return_all:
+            parts = [_dup(img0)[None]]
+            if ys_a is not None:
+                parts.append(ys_a)
+            parts.append(_dup(fusion_frame)[None])
+            if frames_b is not None:
+                parts.append(frames_b)
+            out.append(_maybe_unnorm(gd, jnp.concatenate(parts, axis=0)))
         if return_debug:
+            # raw (not unnormalized) like the reference's .npy dumps
             debug_state["fusion_time"] = accept_t
-            return img, debug_state
-        if return_fusion_time:
-            return img, accept_t
-        return img
+            out.append(debug_state)
+        elif return_fusion_time:
+            out.append(accept_t)
+        return tuple(out) if len(out) > 1 else out[0]
 
     if t_fuse == 0:
         return _ret(img, accept_t)
@@ -363,7 +404,9 @@ def ddpm_sample_branched(
         img_plain, xs_plain = plain_step(x, t, pk)
 
         if not use_classifier:
-            return (img_plain, k, accepted, acc_t, rejects), None
+            return (img_plain, k, accepted, acc_t, rejects), (
+                _dup(img_plain) if return_all else None
+            )
 
         # classifier gate (reference ddpm.py:883-916): per sample, accept
         # the fused estimate if classified as anomalous (score > 0) or at
@@ -376,32 +419,47 @@ def ddpm_sample_branched(
         # x_branchout itself is never advanced — its update at ddpm.py:795
         # is idempotent since the pair is already masked).  Once accepted,
         # a sample stays on the plain chain (classifier_flag latch,
-        # ddpm.py:898-900).
-        score = jnp.reshape(classifier_fn(xs_plain, t), (b,))
-        budget_hit = (
-            rejects >= retry_budget
-            if retry_budget > 0
-            else jnp.zeros((b,), bool)
+        # ddpm.py:898-900) — and once EVERY sample has latched, the gate
+        # can never fire again, so lax.cond skips both the classifier score
+        # and the retry fuse-step (a second 2B-branch UNet pass): like the
+        # reference, the gated chain pays only while rejection is possible.
+        def gated(img_plain, xs_plain, rk, accepted, acc_t, rejects):
+            score = jnp.reshape(classifier_fn(xs_plain, t), (b,))
+            budget_hit = (
+                rejects >= retry_budget
+                if retry_budget > 0
+                else jnp.zeros((b,), bool)
+            )
+            accept_now = (score > 0.0) | (t == 0) | budget_hit
+            img_retry, _ = fuse_step(x_branchout2, t, rk, force_mask_x=True)
+            use_plain = accepted | accept_now
+            sel = use_plain[:, None, None, None]
+            img_next = jnp.where(sel, img_plain, img_retry)
+            acc_t_next = jnp.where(
+                accepted, acc_t, jnp.where(accept_now, t, acc_t)
+            )
+            rejects_next = rejects + (~use_plain).astype(jnp.int32)
+            return img_next, use_plain, acc_t_next, rejects_next
+
+        def latched(img_plain, xs_plain, rk, accepted, acc_t, rejects):
+            return img_plain, accepted, acc_t, rejects
+
+        img_next, accepted, acc_t, rejects = jax.lax.cond(
+            jnp.all(accepted), latched, gated,
+            img_plain, xs_plain, rk, accepted, acc_t, rejects,
         )
-        accept_now = (score > 0.0) | (t == 0) | budget_hit
-        img_retry, _ = fuse_step(x_branchout2, t, rk, force_mask_x=True)
-        use_plain = accepted | accept_now
-        sel = use_plain[:, None, None, None]
-        img_next = jnp.where(sel, img_plain, img_retry)
-        acc_t_next = jnp.where(
-            accepted, acc_t, jnp.where(accept_now, t, acc_t)
+        return (img_next, k, accepted, acc_t, rejects), (
+            _dup(img_next) if return_all else None
         )
-        rejects_next = rejects + (~use_plain).astype(jnp.int32)
-        return (img_next, k, use_plain, acc_t_next, rejects_next), None
 
     ts = jnp.arange(t_fuse - 1, -1, -1)
     accepted0 = jnp.full((b,), not use_classifier)
-    (img, _, _, accept_t, _), _ = jax.lax.scan(
+    (img, _, _, accept_t, _), frames_b = jax.lax.scan(
         fused_phase_step,
         (img, key, accepted0, accept_t, jnp.zeros((b,), jnp.int32)),
         ts,
     )
-    return _ret(img, accept_t)
+    return _ret(img, accept_t, frames_b)
 
 
 def ddim_times(total_timesteps: int, sampling_timesteps: int) -> np.ndarray:
@@ -460,8 +518,9 @@ def ddim_sample_plain(
     img0 = img
     (img, _), ys = jax.lax.scan(step, (img, key), pairs)
     if return_all:
-        return img, jnp.concatenate([img0[None], ys], axis=0)
-    return img
+        frames = jnp.concatenate([img0[None], ys], axis=0)
+        return _maybe_unnorm(gd, img), _maybe_unnorm(gd, frames)
+    return _maybe_unnorm(gd, img)
 
 
 def ddim_sample_branched(
@@ -473,12 +532,19 @@ def ddim_sample_branched(
     scfg: SamplerConfig,
     min_max_val: Tuple[float, float],
     branch_sharding=None,
+    return_all: bool = False,
 ):
     """Branched DDIM with mid-chain fusion (reference ddpm.py:1002-1043).
 
     Fusion fires at t <= times[-start_timestep-2] (ddpm.py:987): x_start is
     fused with the zero-sentinel route and pred_noise via the masked route
     (ddpm.py:1025-1035); later steps run the plain DDIM update.
+
+    `return_all` → (final, frames) with frames [S+1, 2, B, H, W, C] over
+    the S strided steps: initial noise, the branch pair while branched, the
+    fused image duplicated on the pair axis after fusion — same layout as
+    ddpm_sample_branched (the reference stacks DDIM frames at ddpm.py:1073
+    but, as in DDPM, its imgs list mixes pairs and tensors once branched).
     """
     scfg = reconcile(scfg)
     sched = gd.schedule
@@ -555,22 +621,34 @@ def ddim_sample_branched(
         n2 = jnp.concatenate([noise, noise])  # shared across branches
         X2_step = xs2 * jnp.sqrt(alpha_next) + c * pn2 + sigma * n2
         X2_new = jnp.where(t_next < 0, xs2, X2_step)
-        return (X2_new, k), None
+        ys = X2_new.reshape(2, b, *X2_new.shape[1:]) if return_all else None
+        return (X2_new, k), ys
 
     def as_pair(X2):
         return X2.reshape(2, b, *X2.shape[1:])
+
+    def _dup(x):
+        return jnp.stack([x, x])
+
+    def _frames(*parts):
+        return _maybe_unnorm(
+            gd, jnp.concatenate([p for p in parts if p is not None], axis=0)
+        )
 
     if not scfg.start_intermediate or fuse_idx is None:
         # either branched-all-the-way by config, or the fusion time sits
         # below every pair (start_timestep ≤ -1): the reference predicate
         # `t <= start_timestep_ddim` never fires and the terminal pair
         # returns the unfused branch x_starts (ddpm.py:1005-1011)
-        (X2, _), _ = jax.lax.scan(branched_step, (X2, key), jnp.asarray(pairs))
-        return as_pair(X2)
+        (X2, _), ys = jax.lax.scan(branched_step, (X2, key), jnp.asarray(pairs))
+        if return_all:
+            return _maybe_unnorm(gd, as_pair(X2)), _frames(_dup(img0)[None], ys)
+        return _maybe_unnorm(gd, as_pair(X2))
 
     # phase A: branched pairs before the fusion index
+    ys_a = None
     if fuse_idx > 0:
-        (X2, key), _ = jax.lax.scan(
+        (X2, key), ys_a = jax.lax.scan(
             branched_step, (X2, key), jnp.asarray(pairs[:fuse_idx])
         )
 
@@ -585,7 +663,11 @@ def ddim_sample_branched(
         # the reference checks time_next < 0 BEFORE the fusion predicate and
         # returns the unfused branch pair (ddpm.py:1007-1011) — reached when
         # start_timestep maps the fusion onto the terminal DDIM pair
-        return as_pair(xs2)
+        if return_all:
+            return _maybe_unnorm(gd, as_pair(xs2)), _frames(
+                _dup(img0)[None], ys_a, as_pair(xs2)[None]
+            )
+        return _maybe_unnorm(gd, as_pair(xs2))
     x_start = fuse_noisy_states(xs_out, xs_in, m, scfg.fusion_route)
     x_start = jnp.clip(x_start, lo, hi)
     pn_out_masked = pn_out * m
@@ -594,6 +676,8 @@ def ddim_sample_branched(
     alpha_next, sigma, c = ddim_coeffs(t, t_next)
     noise = jax.random.normal(nk, x_start.shape, dtype=x_start.dtype)
     img = x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
+
+    fusion_frame = img
 
     # phase B: plain DDIM on the fused chain
     def plain_step(carry, pair):
@@ -610,12 +694,17 @@ def ddim_sample_branched(
         noise = jax.random.normal(nk, x.shape, dtype=x.dtype)
         x_step = x_start * jnp.sqrt(alpha_next) + c * pred.pred_noise + sigma * noise
         x_new = jnp.where(t_next < 0, x_start, x_step)
-        return (x_new, k), None
+        return (x_new, k), (_dup(x_new) if return_all else None)
 
     rest = pairs[fuse_idx + 1 :]
+    ys_b = None
     if len(rest) > 0:
-        (img, _), _ = jax.lax.scan(plain_step, (img, key), jnp.asarray(rest))
-    return img
+        (img, _), ys_b = jax.lax.scan(plain_step, (img, key), jnp.asarray(rest))
+    if return_all:
+        return _maybe_unnorm(gd, img), _frames(
+            _dup(img0)[None], ys_a, _dup(fusion_frame)[None], ys_b
+        )
+    return _maybe_unnorm(gd, img)
 
 
 def interpolate(
@@ -684,21 +773,26 @@ def sample(
     scfg = reconcile(scfg)
     branch = scfg.branch_out and mask is not None
     if branch:
-        mu = np.unique(np.asarray(mask))
-        if len(mu) == 1 and float(mu[0]) == 1.0:
+        # uniform-ones bypass is a HOST decision (reference ddpm.py:1106-1125
+        # picks the chain in python).  When the mask is already a host array
+        # (the pipeline always passes numpy) this costs nothing; only a
+        # device-resident mask pays a device→host pull here.
+        m_host = mask if isinstance(mask, np.ndarray) else np.asarray(mask)
+        if m_host.min() >= 1.0 and m_host.max() <= 1.0:
             branch = False  # "Original reverse process as AD is low"
 
     if gd.is_ddim_sampling:
         if branch:
             return ddim_sample_branched(
-                gd, params, cond, mask, key, scfg, min_max_val
+                gd, params, cond, mask, key, scfg, min_max_val,
+                return_all=return_all,
             )
         return ddim_sample_plain(gd, params, cond, key, min_max_val, return_all)
 
     if branch:
         return ddpm_sample_branched(
             gd, params, cond, mask, key, scfg, min_max_val, gt=gt,
-            classifier_fn=classifier_fn,
+            classifier_fn=classifier_fn, return_all=return_all,
         )
     gt_arg = gt if (scfg.use_gt and scfg.start_intermediate) else None
     return ddpm_sample_plain(

@@ -45,6 +45,7 @@ class BasicBlock(nn.Module):
         h = nn.Conv(self.mid_dim, (3, 3), padding=1, dtype=self.dtype, name="conv1")(x)
         h = nn.GroupNorm(
             num_groups=_groups(self.group_num, self.mid_dim),
+            epsilon=1e-5,  # torch GroupNorm eps (flax default is 1e-6)
             dtype=self.dtype,
             name="gn1",
         )(h)
@@ -52,6 +53,7 @@ class BasicBlock(nn.Module):
         h = nn.Conv(self.out_dim, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         h = nn.GroupNorm(
             num_groups=_groups(self.group_num, self.out_dim),
+            epsilon=1e-5,
             dtype=self.dtype,
             name="gn2",
         )(h)
@@ -61,6 +63,7 @@ class BasicBlock(nn.Module):
             )(x)
             idn = nn.GroupNorm(
                 num_groups=_groups(self.group_num, self.out_dim),
+                epsilon=1e-5,
                 dtype=self.dtype,
                 name="id_gn",
             )(idn)

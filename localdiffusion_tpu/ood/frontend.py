@@ -110,17 +110,18 @@ class OODFrontend:
             m = manual_mask(shape, cfg.ood.manual_mask_cols)
             return m, m.copy(), None
 
+        dilate = cfg.ood.resolved_mask_dilate(img_size)
         if det == "seg":
             logits = self.seg_apply(jnp.asarray(lr))
             probs = jax.nn.sigmoid(logits)
             binary = (np.asarray(probs) > 0.5).astype(np.float32)
-            if cfg.ood.mask_dilate > 0:
+            if dilate > 0:
                 # same saturation back-off as the patchcore path: never
                 # dilate a detected mask into the uniform-ones bypass
                 # sentinel (ADVICE r2: a saturated seg mask silently routed
                 # the anomaly onto the PLAIN chain)
                 binary = np.stack([
-                    dilate_with_backoff(m, m, cfg.ood.mask_dilate)[1]
+                    dilate_with_backoff(m, m, dilate)[1]
                     for m in binary
                 ])
             return binary, binary.copy(), np.asarray(probs)
@@ -139,6 +140,6 @@ class OODFrontend:
             name = "mvtec" if "mvtec" in cfg.data.name else cfg.data.name
             ladder = ladder_for(name, self._ladder_variant())
         mask_pred, binary = soft_mask_from_map(
-            amap_np, ladder, dilate=cfg.ood.mask_dilate
+            amap_np, ladder, dilate=dilate
         )
         return mask_pred, binary, amap_np

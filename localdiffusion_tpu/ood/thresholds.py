@@ -200,7 +200,7 @@ def fit_ladder(
     rel_above: float = 1.1,
     rel_rung: str = "max-1std",
     clip_lo: str = "thr-std",
-    gate_q: float = 1.0,
+    gate_q: float = 0.95,
 ) -> ThresholdLadder:
     """Self-calibrate a threshold ladder from NORMAL-set anomaly maps.
 
@@ -242,8 +242,9 @@ def fit_ladder(
         pix.append(m.ravel())
     # gate_q < 1 swaps the max of the normal maxima (an extreme statistic —
     # a single outlier image moves it, which is why refit ladders vary
-    # run to run; docs/STATUS.md round 3) for a quantile of them; 1.0
-    # keeps the reference-style max gate
+    # run to run; docs/STATUS.md round 3) for a quantile of them; the
+    # robust 0.95 is the DEFAULT (VERDICT r2 item 5); pass 1.0 for the
+    # reference-style max gate
     gate = float(np.quantile(maxima, gate_q)) * (1.0 + gate_margin)
     thr = float(np.quantile(np.concatenate(pix), pixel_q))
     return ThresholdLadder(

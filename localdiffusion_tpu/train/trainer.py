@@ -401,8 +401,18 @@ class Trainer:
     # ------------------------------------------------------------------
     # evaluation (reference ddpm.py:1573-1597: EMA sampling MSE)
     # ------------------------------------------------------------------
-    def eval_sample_mse(self, state, hr, lr, key, min_max_val=(0.0, 2.0)) -> float:
+    def eval_sample_mse(self, state, hr, lr, key, min_max_val=None) -> float:
         from localdiffusion_tpu.diffusion import sampler as S
+
+        if min_max_val is None:
+            # the clip range is data-dependent (mnist (0,2) vs z-scored MRI
+            # (-1.5, 9), reference test.py:17-37) — an implicit default would
+            # silently mis-clip library callers; derive it with
+            # config.min_max_val_for(cfg) and pass it explicitly.
+            raise ValueError(
+                "eval_sample_mse requires min_max_val "
+                "(use localdiffusion_tpu.config.min_max_val_for)"
+            )
 
         def build():
             def fn(params, hr, lr, key):
@@ -474,3 +484,33 @@ def round_milestone(step: int) -> str:
     if step < 100:
         return str(step)
     return str(int(round(step / 100.0) * 100))
+
+
+# ---------------------------------------------------------------------------
+# best-eval persistence: keeps the best-milestone tracker monotone across
+# watchdog relaunches (a fresh process starting at best=inf would otherwise
+# save a "best" checkpoint WORSE than one from before the wedge)
+# ---------------------------------------------------------------------------
+
+def load_best_eval(results_dir: str) -> float:
+    """Best eval metric recorded by any previous run in results_dir."""
+    import json
+
+    path = os.path.join(results_dir, "best_eval.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["best"])
+    except (OSError, ValueError, KeyError):
+        return float("inf")
+
+
+def record_best_eval(results_dir: str, value: float, milestone: str) -> None:
+    """Atomically persist the new best eval metric + its milestone name."""
+    import json
+
+    os.makedirs(results_dir, exist_ok=True)
+    path = os.path.join(results_dir, "best_eval.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"best": float(value), "milestone": milestone}, f)
+    os.replace(tmp, path)

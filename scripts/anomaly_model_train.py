@@ -40,10 +40,10 @@ def main():
                          "(e.g. max-1std, max-2std; higher-res inputs "
                          "produce sharper score peaks and may need a looser "
                          "rung — max-1std under-segmented at 256px)")
-    ap.add_argument("--gate-q", type=float, default=1.0,
+    ap.add_argument("--gate-q", type=float, default=0.95,
                     help="quantile of the normal per-image maxima used as "
                          "the gate (1.0 = max, the reference-style extreme "
-                         "statistic; ~0.95 is robust to a single outlier "
+                         "statistic; the 0.95 default is robust to a single outlier "
                          "normal image and stabilizes refit ladders)")
     ap.add_argument("--no-ladder", action="store_true",
                     help="skip self-calibrating the threshold ladder")

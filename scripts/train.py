@@ -282,7 +282,13 @@ def main():
 
     steps = args.steps if args.steps is not None else cfg.train.num_steps
     save_every = args.eval_every or max(1, steps // 4)
-    best = float("inf")
+    # survives watchdog relaunches: a fresh process must not demote the best
+    # checkpoint saved before a wedge (best_eval.json in results_dir)
+    from localdiffusion_tpu.train.trainer import load_best_eval, record_best_eval
+
+    best = load_best_eval(trainer.results_dir) if args.resume == "auto" else float("inf")
+    if best < float("inf"):
+        print(f"best-eval tracker resumed at {best:.5f}")
     rng = jax.random.PRNGKey(cfg.train.seed)
     t0 = time.time()
 
@@ -345,6 +351,10 @@ def main():
                 from localdiffusion_tpu.train.trainer import round_milestone
 
                 save_ckpt(state, "best" + round_milestone(step + 1))
+                if is_primary():
+                    record_best_eval(
+                        trainer.results_dir, m, "best" + round_milestone(step + 1)
+                    )
                 print(f"  saved best{round_milestone(step + 1)}")
             with timer.time("checkpoint"):
                 save_ckpt(state, "latest")  # preemption-recovery point

@@ -338,8 +338,134 @@ def test_branched_return_all_no_intermediate():
         gd, {}, cond, mask, KEY, scfg, MMV, return_all=True
     )
     assert final.shape == (2, 1, 8, 8, 1)
-    assert ys.shape == (6, 2, 1, 8, 8, 1)
+    # T+1 frames incl. the initial noise (imgs = [img], ddpm.py:946)
+    assert ys.shape == (7, 2, 1, 8, 8, 1)
+    np.testing.assert_allclose(np.asarray(ys[0][0]), np.asarray(ys[0][1]))
     np.testing.assert_allclose(np.asarray(ys[-1]), np.asarray(final))
+
+
+def test_branched_return_all_with_fusion():
+    """Full 3-phase branched DDPM under return_all: T+1 frames — initial
+    noise, (OOD, IND) pair frames while branched, duplicated fused frames
+    after fusion — and the chain itself is unchanged (the reference collects
+    per-step frames at ddpm.py:946, 964-969)."""
+    T, s = 8, 3
+    gd = oracle_gd(timesteps=T)
+    cond = jnp.asarray(
+        np.random.default_rng(11).uniform(0.2, 1.8, (1, 8, 8, 1)).astype(np.float32)
+    )
+    mask = _left_mask()
+    scfg = SamplerConfig(start_timestep=s)
+    final, frames = S.ddpm_sample_branched(
+        gd, {}, cond, mask, KEY, scfg, MMV, return_all=True
+    )
+    assert frames.shape == (T + 1, 2, 1, 8, 8, 1)
+    f = np.asarray(frames)
+    np.testing.assert_allclose(f[0][0], f[0][1])  # init noise duplicated
+    assert not np.allclose(f[1][0], f[1][1])  # phase A: branches diverge
+    np.testing.assert_allclose(f[-1][0], f[-1][1])  # fused: duplicated
+    np.testing.assert_allclose(f[-1][0], np.asarray(final))
+    # frame collection must not perturb the chain
+    final2 = S.ddpm_sample_branched(gd, {}, cond, mask, KEY, scfg, MMV)
+    np.testing.assert_allclose(np.asarray(final), np.asarray(final2))
+
+
+def test_ddim_branched_return_all():
+    """Branched DDIM under return_all: S+1 frames over the strided grid,
+    final frame == returned image, chain unchanged (ddpm.py:1073)."""
+    gd = oracle_gd(timesteps=10, sampling_timesteps=5)
+    cond = jnp.asarray(
+        np.random.default_rng(12).uniform(0.2, 1.8, (1, 8, 8, 1)).astype(np.float32)
+    )
+    mask = _left_mask()
+    scfg = SamplerConfig(start_timestep=1)
+    final, frames = S.ddim_sample_branched(
+        gd, {}, cond, mask, KEY, scfg, MMV, return_all=True
+    )
+    assert frames.shape == (6, 2, 1, 8, 8, 1)
+    f = np.asarray(frames)
+    np.testing.assert_allclose(f[0][0], f[0][1])
+    np.testing.assert_allclose(f[-1][0], np.asarray(final))
+    final2 = S.ddim_sample_branched(gd, {}, cond, mask, KEY, scfg, MMV)
+    np.testing.assert_allclose(np.asarray(final), np.asarray(final2))
+
+
+def _oracle_pair(target, timesteps, auto_normalize):
+    from localdiffusion_tpu.config import DiffusionConfig, ModelConfig
+
+    mcfg = ModelConfig(dim=8, dim_mults=(1, 2), full_attn=(False, True), channels=1)
+    dcfg = DiffusionConfig(
+        image_size=8, timesteps=timesteps, objective="pred_x0",
+        auto_normalize=auto_normalize,
+    )
+    gd = GaussianDiffusion(mcfg, dcfg)
+    gd.encode_cond = lambda params, cond: cond
+    gd.apply_model = (
+        lambda params, x, cond, t, cond_feat=None: jnp.broadcast_to(target, x.shape)
+    )
+    return gd
+
+
+def test_auto_normalize_unnormalizes_at_sampler_exit():
+    """auto_normalize=True must unnormalize at every sampler exit (reference
+    ddpm.py:619-620, 972, 1074).  The reverse chain itself never touches
+    auto_normalize, so out_auto == (out_raw + 1) / 2 bit-for-bit per path —
+    the round-trip inverse of the loss-side [0,1]→[-1,1] normalization."""
+    target = jnp.full((1, 8, 8, 1), 0.8)
+    raw, auto = _oracle_pair(target, 6, False), _oracle_pair(target, 6, True)
+    cond = jnp.asarray(
+        np.random.default_rng(13).uniform(0.2, 1.8, (1, 8, 8, 1)).astype(np.float32)
+    )
+    mask = _left_mask()
+    scfg = SamplerConfig(start_timestep=2)
+
+    def unn(x):
+        return (np.asarray(x) + 1.0) / 2.0
+
+    out_r = S.ddpm_sample_plain(raw, {}, cond, KEY, MMV)
+    out_a = S.ddpm_sample_plain(auto, {}, cond, KEY, MMV)
+    np.testing.assert_allclose(np.asarray(out_a), unn(out_r), rtol=1e-6)
+
+    out_r = S.ddpm_sample_branched(raw, {}, cond, mask, KEY, scfg, MMV)
+    out_a = S.ddpm_sample_branched(auto, {}, cond, mask, KEY, scfg, MMV)
+    np.testing.assert_allclose(np.asarray(out_a), unn(out_r), rtol=1e-6)
+
+    raw_d, auto_d = _oracle_pair(target, 10, False), _oracle_pair(target, 10, True)
+    raw_d.sampling_timesteps = auto_d.sampling_timesteps = 5
+    out_r = S.ddim_sample_plain(raw_d, {}, cond, KEY, MMV)
+    out_a = S.ddim_sample_plain(auto_d, {}, cond, KEY, MMV)
+    np.testing.assert_allclose(np.asarray(out_a), unn(out_r), rtol=1e-6)
+
+    out_r = S.ddim_sample_branched(raw_d, {}, cond, mask, KEY, scfg, MMV)
+    out_a = S.ddim_sample_branched(auto_d, {}, cond, mask, KEY, scfg, MMV)
+    np.testing.assert_allclose(np.asarray(out_a), unn(out_r), rtol=1e-6)
+
+    # return_all frames are unnormalized too
+    _, fr_r = S.ddpm_sample_plain(raw, {}, cond, KEY, MMV, return_all=True)
+    _, fr_a = S.ddpm_sample_plain(auto, {}, cond, KEY, MMV, return_all=True)
+    np.testing.assert_allclose(np.asarray(fr_a), unn(fr_r), rtol=1e-6)
+
+
+def test_gated_always_accept_matches_ungated():
+    """With a gate that always accepts, the classifier-gated chain must be
+    BIT-IDENTICAL to the ungated chain: the first gated step selects the
+    plain step, every later step takes the latched lax.cond fast path (the
+    reference pays the classifier only until classifier_flag latches,
+    ddpm.py:883-916)."""
+    gd = oracle_gd()
+    cond = jnp.asarray(
+        np.random.default_rng(14).uniform(0.2, 1.8, (2, 8, 8, 1)).astype(np.float32)
+    )
+    mask = _left_mask(b=2)
+    always_accept = lambda xs, t: jnp.ones((xs.shape[0],))
+    out_g = S.ddpm_sample_branched(
+        gd, {}, cond, mask, KEY, SamplerConfig(start_timestep=4, classifier=True),
+        MMV, classifier_fn=always_accept,
+    )
+    out_u = S.ddpm_sample_branched(
+        gd, {}, cond, mask, KEY, SamplerConfig(start_timestep=4), MMV
+    )
+    np.testing.assert_array_equal(np.asarray(out_g), np.asarray(out_u))
 
 
 def test_branched_debug_capture():

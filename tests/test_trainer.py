@@ -148,8 +148,13 @@ def test_eval_sample_mse_runs():
     tr = Trainer(gd, TrainConfig())
     state = tr.init_state(KEY)
     hr, lr = make_batch(b=2)
-    m = tr.eval_sample_mse(state, hr, lr, KEY)
+    m = tr.eval_sample_mse(state, hr, lr, KEY, min_max_val=(0.0, 2.0))
     assert np.isfinite(m)
+    # data-dependent clip range must be explicit (no silent mnist default)
+    import pytest
+
+    with pytest.raises(ValueError):
+        tr.eval_sample_mse(state, hr, lr, KEY)
 
 
 def test_epoch_resident_fn_trains_and_matches_step_count():
