@@ -205,7 +205,7 @@ def build_classifier_gate(cfg: Config, frontend=None, calibration_pairs=None,
 def build_pipeline(cfg: Config, milestone: str = "latest",
                    params_npz: Optional[str] = None,
                    calibration_images=None, calibration_pairs=None,
-                   verbose: bool = True, strict: bool = False):
+                   verbose: bool = True, strict: bool = False, mesh=None):
     """One-call pipeline construction (the library equivalent of
     scripts/test.py's setup).  Raises for detector='seg' without a trained
     seg checkpoint — the ground-truth-mask fallback is a script-level
@@ -225,4 +225,4 @@ def build_pipeline(cfg: Config, milestone: str = "latest",
                                  calibration_pairs=calibration_pairs,
                                  verbose=verbose)
     return LocalDiffusionPipeline(cfg, gd, params, frontend=frontend,
-                                  classifier_gate=gate)
+                                  classifier_gate=gate, mesh=mesh)

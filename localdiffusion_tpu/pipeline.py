@@ -36,6 +36,7 @@ class LocalDiffusionPipeline:
         params,
         frontend: Optional[OODFrontend] = None,
         classifier_gate=None,
+        mesh=None,
     ):
         self.config = config
         self.gd = gd
@@ -43,8 +44,25 @@ class LocalDiffusionPipeline:
         self.frontend = frontend
         self.classifier_gate = classifier_gate
         self.min_max_val = min_max_val_for(config)
+        self.mesh = mesh
+        if mesh is not None:
+            # multi-chip serving: params replicated once up front; batches
+            # are sharded over 'data' (and the IND/OOD pair over 'patch')
+            # per translate() call
+            from localdiffusion_tpu.parallel.mesh import replicated
+
+            self.params = jax.device_put(self.params, replicated(mesh))
         self._branched_fn = None
         self._plain_fn = None
+
+    def _branch_sharding(self):
+        """[2B, ...] flat branch-pair sharding: pair over 'patch', batch
+        over 'data' (same spec tests/test_patch_parallel.py validates)."""
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(self.mesh, P(("patch", "data")))
 
     # ------------------------------------------------------------------
     def _compile_branched(self):
@@ -53,15 +71,20 @@ class LocalDiffusionPipeline:
         gd = self.gd
         gate = self.classifier_gate if scfg.classifier else None
         use_gt = scfg.use_gt and scfg.start_intermediate
+        bs = self._branch_sharding()
         if gd.is_ddim_sampling:
             def fn(params, cond, mask, key, gt=None):
-                return S.ddim_sample_branched(gd, params, cond, mask, key, scfg, mmv)
+                return S.ddim_sample_branched(
+                    gd, params, cond, mask, key, scfg, mmv,
+                    branch_sharding=bs,
+                )
         else:
             def fn(params, cond, mask, key, gt=None):
                 return S.ddpm_sample_branched(
                     gd, params, cond, mask, key, scfg, mmv,
                     gt=gt if use_gt else None, classifier_fn=gate,
                     return_fusion_time=gate is not None,
+                    branch_sharding=bs,
                 )
         return jax.jit(fn)
 
@@ -95,6 +118,15 @@ class LocalDiffusionPipeline:
         key = key if key is not None else jax.random.PRNGKey(0)
         scfg = self.config.sampler
         lr_j = jnp.asarray(lr, jnp.float32)
+        if self.mesh is not None:
+            from localdiffusion_tpu.parallel.mesh import batch_sharding
+
+            if lr_j.shape[0] % int(self.mesh.shape["data"]) != 0:
+                raise ValueError(
+                    f"batch {lr_j.shape[0]} not divisible by mesh data width "
+                    f"{self.mesh.shape['data']}"
+                )
+            lr_j = jax.device_put(lr_j, batch_sharding(self.mesh))
 
         amap = None
         if mask is None:
@@ -120,7 +152,12 @@ class LocalDiffusionPipeline:
         if branch:
             if self._branched_fn is None:
                 self._branched_fn = self._compile_branched()
-            out = self._branched_fn(self.params, lr_j, jnp.asarray(mask), key, gt_j)
+            mask_j = jnp.asarray(mask)
+            if self.mesh is not None:
+                from localdiffusion_tpu.parallel.mesh import batch_sharding
+
+                mask_j = jax.device_put(mask_j, batch_sharding(self.mesh))
+            out = self._branched_fn(self.params, lr_j, mask_j, key, gt_j)
             if (
                 self.classifier_gate is not None
                 and scfg.classifier

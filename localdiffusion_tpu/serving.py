@@ -77,6 +77,7 @@ class InferenceServer:
             "batches": 0,
             "plain_dispatches": 0,
             "branched_dispatches": 0,
+            "merged_dispatches": 0,
             "padded_slots": 0,
             "latency_sum_s": 0.0,
             "latency_max_s": 0.0,
@@ -201,21 +202,36 @@ class InferenceServer:
         plain = [r for r in batch if np.all(r.mask == 1.0) or not scfg.branch_out]
         branched = [r for r in batch if r not in plain]
 
+        # mixed batch → ONE branched dispatch for everything: a plain row
+        # rides the branched program under its uniform-ones mask (the fused
+        # image is the IND branch everywhere, i.e. the plain trajectory).
+        # Cost: 2·B UNet calls/step vs 3·B for two padded dispatches
+        # (B plain + 2B branched) — strictly cheaper AND fewer padded
+        # slots.  Deterministic: routing depends only on batch composition.
+        if plain and branched:
+            groups = [(batch, True, "merged_dispatches")]
+        else:
+            groups = [(plain, False, "plain_dispatches"),
+                      (branched, True, "branched_dispatches")]
+
         outs: Dict[int, Dict] = {}
-        for group, is_branched in ((plain, False), (branched, True)):
+        for group, is_branched, stat_key in groups:
             if not group:
                 continue
             lr = self._pad([r.lr for r in group])
             mask = self._pad([r.mask for r in group])
             res = self.pipe.translate(lr, key=key, mask=mask)
             with self._lock:  # snapshot_stats reads from another thread
-                self.stats["branched_dispatches" if is_branched else "plain_dispatches"] += 1
+                self.stats[stat_key] += 1
                 self.stats["padded_slots"] += self.batch_size - len(group)
             for i, r in enumerate(group):
                 outs[id(r)] = {
                     "pred": res["pred"][i],
                     "mask": np.asarray(r.mask),
-                    "branched": bool(res["branched"]),
+                    # per-row flag: a plain row riding a merged branched
+                    # dispatch was still served the plain trajectory
+                    "branched": bool(res["branched"])
+                    and not bool(np.all(r.mask == 1.0)),
                 }
 
         now = time.perf_counter()

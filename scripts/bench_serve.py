@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--max-wait-ms", type=float, default=30.0)
     ap.add_argument("--dtype", choices=["float32", "bfloat16"], default=None,
                     help="compute dtype override (bf16 chains run 2-5x faster)")
+    ap.add_argument("--mesh-data", type=int, default=0,
+                    help="shard serving batches over a mesh with this 'data' "
+                         "width (0 = no mesh, single device)")
+    ap.add_argument("--mesh-patch", type=int, default=1,
+                    help="'patch' width for the branched IND/OOD pair")
     args = ap.parse_args()
 
     from localdiffusion_tpu.utils.logging import (
@@ -66,8 +71,16 @@ def main():
         )
     if args.detector:
         cfg = cfg.replace(ood=dataclasses.replace(cfg.ood, detector=args.detector))
+    mesh = None
+    if args.mesh_data:
+        from localdiffusion_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=args.mesh_data, patch=args.mesh_patch)
+        if args.batch_size % args.mesh_data:
+            ap.error(f"--batch-size {args.batch_size} must be divisible by "
+                     f"--mesh-data {args.mesh_data}")
     pipe = build_pipeline(cfg, milestone=args.milestone,
-                          params_npz=args.params_npz)
+                          params_npz=args.params_npz, mesh=mesh)
 
     size = cfg.diffusion.image_size
     ch = cfg.model.channels
@@ -123,6 +136,8 @@ def main():
         "requests": n,
         "clients": args.clients,
         "batch_size": args.batch_size,
+        "mesh": (f"data={args.mesh_data},patch={args.mesh_patch}"
+                 if mesh is not None else "none"),
         "p50_s": round(float(np.percentile(lat, 50)), 4),
         "p95_s": round(float(np.percentile(lat, 95)), 4),
         "p99_s": round(float(np.percentile(lat, 99)), 4),

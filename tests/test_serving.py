@@ -80,9 +80,12 @@ def test_batched_result_matches_direct_call(pipe):
         np.testing.assert_allclose(out["pred"], direct["pred"][i], atol=1e-5)
 
 
-def test_uniform_rows_take_plain_chain(pipe):
-    """Mixed batch: uniform-ones-mask rows dispatch to the plain program
-    (the request-level uniform-mask bypass, reference ddpm.py:1110-1117)."""
+def test_mixed_batch_merges_into_one_dispatch(pipe):
+    """Mixed batch: ONE merged branched dispatch serves everything — a
+    uniform-ones row rides the branched program (fusion keeps its IND
+    branch everywhere = the plain trajectory) instead of paying a second
+    padded dispatch.  Per-row 'branched' flags still reflect the
+    trajectory each row was served."""
     srv = InferenceServer(pipe, batch_size=4, max_wait_ms=500)
     ones = np.ones((S, S, 1), np.float32)
     futs = [
@@ -97,9 +100,65 @@ def test_uniform_rows_take_plain_chain(pipe):
 
     stats = srv.snapshot_stats()
     assert stats["batches"] == 1
-    assert stats["plain_dispatches"] == 1
-    assert stats["branched_dispatches"] == 1
+    assert stats["merged_dispatches"] == 1
+    assert stats["plain_dispatches"] == 0
+    assert stats["branched_dispatches"] == 0
+    assert stats["padded_slots"] == 0  # merged batch is full — no padding
     assert [o["branched"] for o in outs] == [False, True, False, True]
+    assert all(np.isfinite(o["pred"]).all() for o in outs)
+
+
+def test_all_uniform_batch_takes_plain_chain(pipe):
+    """A batch of only uniform-ones masks still dispatches to the plain
+    program (1 UNet call/step) — merging only happens for mixed batches
+    (reference ddpm.py:1110-1117 whole-run bypass, generalized)."""
+    srv = InferenceServer(pipe, batch_size=4, max_wait_ms=500)
+    ones = np.ones((S, S, 1), np.float32)
+    futs = [srv.submit(_img(i), mask=ones) for i in range(4)]
+    srv.start()
+    outs = [f.result(timeout=300) for f in futs]
+    srv.stop()
+
+    stats = srv.snapshot_stats()
+    assert stats["plain_dispatches"] == 1
+    assert stats["merged_dispatches"] == 0
+    assert stats["branched_dispatches"] == 0
+    assert not any(o["branched"] for o in outs)
+
+
+def test_mesh_serving_matches_single_device(pipe, mesh8):
+    """Mesh-aware serving (VERDICT r2 #6): the same pipeline under a
+    ('data','patch') mesh — params replicated, batches sharded over
+    'data', the [2B] branch pair constrained over ('patch','data') —
+    must produce the same images as the unsharded pipeline."""
+    mpipe = LocalDiffusionPipeline(
+        pipe.config, pipe.gd, pipe.params, mesh=mesh8
+    )
+    srv = InferenceServer(mpipe, batch_size=4, max_wait_ms=500, base_seed=0)
+    imgs = [_img(i) for i in range(4)]
+    mask = _anom_mask()
+    futs = [srv.submit(im, mask=mask) for im in imgs]
+    srv.start()
+    outs = [f.result(timeout=300) for f in futs]
+    srv.stop()
+    assert srv.snapshot_stats()["branched_dispatches"] == 1
+
+    ref = pipe.translate(
+        np.stack(imgs), key=jax.random.fold_in(jax.random.PRNGKey(0), 0),
+        mask=np.stack([mask] * 4),
+    )
+    for i, out in enumerate(outs):
+        np.testing.assert_allclose(out["pred"], ref["pred"][i], atol=1e-4)
+
+
+def test_mesh_pipeline_rejects_indivisible_batch(pipe, mesh8):
+    """A batch not divisible by the mesh 'data' width is a loud error,
+    not a silent wrong-sharding dispatch."""
+    mpipe = LocalDiffusionPipeline(
+        pipe.config, pipe.gd, pipe.params, mesh=mesh8
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        mpipe.translate(np.stack([_img(0)] * 3))
 
 
 def test_partial_batch_pads_and_resolves(pipe):
