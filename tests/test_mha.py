@@ -48,6 +48,28 @@ def test_mha_external_datafile(tmp_path):
     np.testing.assert_array_equal(got, v)
 
 
+def test_mha_compressed_zraw_sibling(tmp_path):
+    """ElementDataFile pointing at a zlib-compressed sibling .zraw — the
+    layout real BRATS archives ship (.mhd header + .zraw data); rehearses
+    asset drop-in without the asset (VERDICT r2 #8)."""
+    import zlib
+
+    v = _vol(dtype=np.int16, seed=5)
+    (tmp_path / "vol.zraw").write_bytes(
+        zlib.compress(np.ascontiguousarray(v).tobytes())
+    )
+    hdr = (
+        "ObjectType = Image\nNDims = 3\nBinaryData = True\n"
+        "BinaryDataByteOrderMSB = False\nCompressedData = True\n"
+        "DimSize = 12 10 8\nElementType = MET_SHORT\n"
+        "ElementDataFile = vol.zraw\n"
+    )
+    (tmp_path / "vol.mhd").write_text(hdr)
+    got, header = load_mha(str(tmp_path / "vol.mhd"))
+    np.testing.assert_array_equal(got, v)
+    assert header["ElementDataFile"] == "vol.zraw"
+
+
 def test_mha_big_endian(tmp_path):
     v = _vol(dtype=np.int16, seed=2)
     raw = v.astype(">i2").tobytes()
