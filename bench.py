@@ -320,6 +320,7 @@ def main():
         _, ips_exact, _, tflops_exact = measure_tpu(
             batch=4, timesteps=args.timesteps, image_size=256,
             four_stage=True, bf16=args.bf16, exact_s2d=True,
+            profile_dir="/tmp/jax_trace_256_exact" if args.profile else None,
         )
         record["images_per_sec_256px_exact_s2d"] = round(ips_exact, 3)
         if tflops_exact is not None and peak and args.bf16:

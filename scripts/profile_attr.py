@@ -78,6 +78,8 @@ def main():
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--stage", default=None,
                     help="print the op breakdown of one stage")
+    ap.add_argument("--ops", action="store_true",
+                    help="also list the top individual HLO ops")
     args = ap.parse_args()
 
     path = find_trace_file(args.trace_dir)
@@ -97,6 +99,8 @@ def main():
     by_stage = collections.Counter()
     by_cat = collections.Counter()
     by_stage_cat = collections.Counter()
+    by_op = collections.Counter()
+    op_count = collections.Counter()
     total = 0.0
     n_ops = 0
     for ev in events:
@@ -110,11 +114,18 @@ def main():
         if tname.startswith(("jit_", "XLA Modules", "Steps")):
             continue
         stage, cat = classify(tname, ev.get("args", {}))
+        # container ops (scan loops, conditionals) re-count their children:
+        # every op inside the sampling scan also appears as its own event,
+        # so including the parent would double the total
+        if cat in ("while", "conditional", "call"):
+            continue
         if args.stage and stage != args.stage:
             continue
         by_stage[stage] += dur
         by_cat[cat] += dur
         by_stage_cat[(stage, cat)] += dur
+        by_op[tname] += dur
+        op_count[tname] += 1
         total += dur
         n_ops += 1
 
@@ -132,6 +143,11 @@ def main():
     print("\n== stage × category (top) ==")
     for (stage, cat), dur in by_stage_cat.most_common(args.top):
         print(f"{dur / 1e3:9.2f} ms  {100 * dur / total:5.1f}%  {stage:16s} {cat}")
+    if args.ops:
+        print("\n== individual ops (top) ==")
+        for opname, dur in by_op.most_common(args.top):
+            print(f"{dur / 1e3:9.2f} ms  {100 * dur / total:5.1f}%  "
+                  f"×{op_count[opname]:<4d} {opname[:110]}")
 
 
 if __name__ == "__main__":
