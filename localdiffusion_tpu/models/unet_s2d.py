@@ -374,14 +374,68 @@ def resnet_block_s2d(x, t_emb, p, dim_out, groups, f, dtype, cin_sizes):
     return h + x
 
 
-def _attention_s2d(x, p, heads, dim_head, f, dtype, full: bool):
+_FUSED_LINATT = None  # tri-state: None = probe, False = unavailable
+
+
+def _fused_linear_attention():
+    """Fused Pallas linear attention (ops/pallas_linear_attention.py) on the
+    TPU backend; LOCALDIFF_FUSED_LINATT=0 disables, =interpret forces the
+    interpreter (CPU parity tests)."""
+    global _FUSED_LINATT
+    if _FUSED_LINATT is None:
+        import os
+
+        mode = os.environ.get("LOCALDIFF_FUSED_LINATT", "1")
+        try:
+            if mode == "0":
+                _FUSED_LINATT = False
+            elif mode == "interpret" or jax.default_backend() == "tpu":
+                from localdiffusion_tpu.ops.pallas_linear_attention import (
+                    linear_attention_s2d_fused,
+                    supports,
+                )
+
+                _FUSED_LINATT = (
+                    linear_attention_s2d_fused, supports, mode == "interpret"
+                )
+            else:
+                _FUSED_LINATT = False
+        except Exception:
+            _FUSED_LINATT = False
+    return _FUSED_LINATT
+
+
+def _attention_s2d(x, p, heads, dim_head, f, dtype, full: bool,
+                   add_residual: bool = False):
     """Linear or full attention (blocks.py:230-291) in s2d layout.
 
     Tokens enumerate (block, phase) pairs instead of raster order; both
     attention forms are permutation-invariant over tokens, so the result
     equals the full-res computation.
+
+    add_residual=True fuses the caller's `+ x`; the fused Pallas path
+    (one third of chain device time as three XLA softmax passes over a
+    402 MB qkv tensor — docs/PERFORMANCE.md round-3 attribution) handles
+    the residual in its final tile write.
     """
     b, h, w, cc = x.shape
+    fused = _fused_linear_attention()
+    if (
+        not full
+        and fused
+        and dtype == jnp.bfloat16
+        and fused[1](x.shape, heads, dim_head, f)
+    ):
+        fn, _, interpret = fused
+        return fn(
+            x.astype(jnp.bfloat16),
+            p["norm"]["g"],
+            p["to_qkv"]["kernel"][0, 0],
+            p["to_out"]["kernel"][0, 0],
+            p["to_out"]["bias"],
+            p["out_norm"]["g"],
+            heads, dim_head, f, add_residual, interpret,
+        )
     ff = f * f
     c = cc // ff
     n = h * w * ff
@@ -414,7 +468,8 @@ def _attention_s2d(x, p, heads, dim_head, f, dtype, full: bool):
     out = jnp.einsum("bhwpd,de->bhwpe", out, Wout) + p["to_out"]["bias"].astype(dtype)
     if not full:  # LinearAttention has an output RMSNorm
         out = rmsnorm_s2d(out, p["out_norm"]["g"], dtype)
-    return out.reshape(b, h, w, ff * c)
+    out = out.reshape(b, h, w, ff * c)
+    return out + x if add_residual else out
 
 
 def downsample_from_s2d(x, conv_params, f, dtype):
@@ -514,12 +569,9 @@ def apply_unet_s2d(
         x = resnet_block_s2d(x, t, p["down0_block1"], dim0_in, groups, f, dtype, None)
         skip_a = x
         x = resnet_block_s2d(x, t, p["down0_block2"], dim0_in, groups, f, dtype, None)
-        x = (
-            _attention_s2d(
-                x, p["down0_attn"], cfg.attn_heads, cfg.attn_dim_head, f, dtype,
-                full=cfg.full_attn[0],
-            )
-            + x
+        x = _attention_s2d(
+            x, p["down0_attn"], cfg.attn_heads, cfg.attn_dim_head, f, dtype,
+            full=cfg.full_attn[0], add_residual=True,
         )
         skip_b = x
         x = downsample_from_s2d(x, p["down0_down"]["conv"], f, dtype)
@@ -547,12 +599,9 @@ def apply_unet_s2d(
                 x = resnet_block_s2d(
                     x, t, p[f"down{i}_block2"], dim_in, groups, f, dtype, None
                 )
-                x = (
-                    _attention_s2d(
-                        x, p[f"down{i}_attn"], cfg.attn_heads, cfg.attn_dim_head,
-                        f, dtype, full=cfg.full_attn[i],
-                    )
-                    + x
+                x = _attention_s2d(
+                    x, p[f"down{i}_attn"], cfg.attn_heads, cfg.attn_dim_head,
+                    f, dtype, full=cfg.full_attn[i], add_residual=True,
                 )
                 skips.append(x)
                 # n_fold ≤ num_stages-1 ⇒ a folded stage is never the last
@@ -616,12 +665,9 @@ def apply_unet_s2d(
                     x, t, p[f"up{j}_block2"], dim_out, groups, f, dtype,
                     [dim_out, dim_in],
                 )
-                x = (
-                    _attention_s2d(
-                        x, p[f"up{j}_attn"], cfg.attn_heads, cfg.attn_dim_head,
-                        f, dtype, full=cfg.full_attn[L],
-                    )
-                    + x
+                x = _attention_s2d(
+                    x, p[f"up{j}_attn"], cfg.attn_heads, cfg.attn_dim_head,
+                    f, dtype, full=cfg.full_attn[L], add_residual=True,
                 )
             else:
                 x = jnp.concatenate([x, skips.pop()], axis=-1)
@@ -657,12 +703,9 @@ def apply_unet_s2d(
         x = resnet_block_s2d(
             x, t, p[f"up{j}_block2"], dim_out, groups, f, dtype, [dim_out, dim0_in]
         )
-        x = (
-            _attention_s2d(
-                x, p[f"up{j}_attn"], cfg.attn_heads, cfg.attn_dim_head, f, dtype,
-                full=cfg.full_attn[0],
-            )
-            + x
+        x = _attention_s2d(
+            x, p[f"up{j}_attn"], cfg.attn_heads, cfg.attn_dim_head, f, dtype,
+            full=cfg.full_attn[0], add_residual=True,
         )
         x = s2d_conv(x, p[f"up{j}_up"], f, None, dtype)  # is_last: plain conv3×3
 
