@@ -342,6 +342,42 @@ def rmsnorm_s2d(x5, g, dtype):
     return (normed * g * math.sqrt(c)).astype(dtype)
 
 
+_FUSED_BLOCK = None  # tri-state like _FUSED_LINATT
+
+
+def _fused_resnet_block():
+    """Fused Pallas ResnetBlock (ops/pallas_resnet_block.py) on the TPU
+    backend; LOCALDIFF_FUSED_BLOCK=0 disables, =interpret forces the
+    interpreter (CPU parity tests)."""
+    global _FUSED_BLOCK
+    if _FUSED_BLOCK is None:
+        import os
+
+        mode = os.environ.get("LOCALDIFF_FUSED_BLOCK", "1")
+        try:
+            if mode == "0":
+                _FUSED_BLOCK = False
+            elif mode == "1" and (
+                jax.default_backend() == "tpu" and jax.device_count() > 1
+            ):
+                # see _fused_linear_attention: kernels don't GSPMD-shard
+                _FUSED_BLOCK = False
+            elif mode in ("interpret", "force") or jax.default_backend() == "tpu":
+                from localdiffusion_tpu.ops.pallas_resnet_block import (
+                    resnet_block_s2d_fused,
+                    supports,
+                )
+
+                _FUSED_BLOCK = (
+                    resnet_block_s2d_fused, supports, mode == "interpret"
+                )
+            else:
+                _FUSED_BLOCK = False
+        except Exception:
+            _FUSED_BLOCK = False
+    return _FUSED_BLOCK
+
+
 def resnet_block_s2d(x, t_emb, p, dim_out, groups, f, dtype, cin_sizes):
     """ResnetBlock (models/blocks.py:170-195) on a phase-major s2d tensor."""
     scale_shift = (None, None)
@@ -349,6 +385,22 @@ def resnet_block_s2d(x, t_emb, p, dim_out, groups, f, dtype, cin_sizes):
         ht = nn.silu(t_emb)
         ht = ht @ p["mlp"]["kernel"].astype(dtype) + p["mlp"]["bias"].astype(dtype)
         scale_shift = tuple(jnp.split(ht, 2, axis=-1))
+
+    fused = _fused_resnet_block()
+    if (
+        fused
+        and dtype == jnp.bfloat16
+        and fused[1](x.shape, dim_out, groups, f)
+    ):
+        fn, _, interpret = fused
+        ss = None
+        if scale_shift[0] is not None:
+            ss = (scale_shift[0].astype(jnp.float32),
+                  scale_shift[1].astype(jnp.float32))
+        return fn(
+            x.astype(jnp.bfloat16), p, ss, dim_out, groups, f,
+            tuple(cin_sizes) if cin_sizes is not None else None, interpret,
+        )
     h = s2d_conv(x, p["block1"]["proj"], f, cin_sizes, dtype)
     h = gn_film_silu_s2d(
         h,
@@ -389,7 +441,14 @@ def _fused_linear_attention():
         try:
             if mode == "0":
                 _FUSED_LINATT = False
-            elif mode == "interpret" or jax.default_backend() == "tpu":
+            elif mode == "1" and (
+                jax.default_backend() == "tpu" and jax.device_count() > 1
+            ):
+                # pallas_call is not GSPMD-partitionable: on a multi-chip
+                # mesh the XLA path shards transparently, the kernel would
+                # not.  mode=force opts in (e.g. shard_map integration).
+                _FUSED_LINATT = False
+            elif mode in ("interpret", "force") or jax.default_backend() == "tpu":
                 from localdiffusion_tpu.ops.pallas_linear_attention import (
                     linear_attention_s2d_fused,
                     supports,
