@@ -227,6 +227,43 @@ class Upsample(nn.Module):
         return nn.Conv(self.dim_out, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 
 
+_FUSED_LINATT = None  # tri-state probe, same pattern as unet_s2d
+
+
+def _fused_linear_attention():
+    """Fused streaming linear attention (ops/pallas_linear_attention.py) on
+    the TPU backend; LOCALDIFF_FUSED_LINATT=0 disables, =interpret forces
+    the Mosaic interpreter (CPU parity tests)."""
+    global _FUSED_LINATT
+    if _FUSED_LINATT is None:
+        import os
+
+        mode = os.environ.get("LOCALDIFF_FUSED_LINATT", "1")
+        try:
+            if mode == "0":
+                _FUSED_LINATT = False
+            elif mode == "1" and (
+                jax.default_backend() == "tpu" and jax.device_count() > 1
+            ):
+                _FUSED_LINATT = False  # pallas_call won't GSPMD-shard
+            elif mode in ("interpret", "force") or jax.default_backend() == "tpu":
+                from localdiffusion_tpu.ops.pallas_linear_attention import (
+                    linear_attention_fused,
+                    supports_normal_layout,
+                )
+
+                _FUSED_LINATT = (
+                    linear_attention_fused,
+                    supports_normal_layout,
+                    mode == "interpret",
+                )
+            else:
+                _FUSED_LINATT = False
+        except Exception:
+            _FUSED_LINATT = False
+    return _FUSED_LINATT
+
+
 class LinearAttention(nn.Module):
     """Softmax-feature linear attention with RMSNorm in/out (reference
     ddpm.py:214-251).  O(N·d²) — the cheap attention used at high-res stages.
@@ -241,6 +278,29 @@ class LinearAttention(nn.Module):
         b, h, w, c = x.shape
         hidden = self.heads * self.dim_head
         scale = self.dim_head**-0.5
+
+        # big-token fused path: stream x twice, never materialize qkv
+        # (docs/PERFORMANCE.md round-3; the XLA path below stays the
+        # ground truth and the small-size/init/CPU route)
+        fused = _fused_linear_attention()
+        if (
+            fused
+            and not self.is_initializing()
+            and h * w >= 4096
+            and self.dtype == jnp.bfloat16
+            and fused[1](x.shape, self.heads, self.dim_head)
+        ):
+            fn, _, interpret = fused
+            p = self.variables["params"]
+            return fn(
+                x.astype(jnp.bfloat16),
+                p["norm"]["g"],
+                p["to_qkv"]["kernel"][0, 0],
+                p["to_out"]["kernel"][0, 0],
+                p["to_out"]["bias"],
+                p["out_norm"]["g"],
+                self.heads, self.dim_head, False, interpret,
+            )
 
         x_in = RMSNorm(self.dtype, name="norm")(x)
         qkv = nn.Conv(

@@ -483,7 +483,7 @@ def _attention_s2d(x, p, heads, dim_head, f, dtype, full: bool,
         not full
         and fused
         and dtype == jnp.bfloat16
-        and fused[1](x.shape, heads, dim_head, f)
+        and fused[1](x.shape, heads, dim_head, f * f)
     ):
         fn, _, interpret = fused
         return fn(

@@ -1,4 +1,4 @@
-"""Pallas TPU fused linear attention for the s2d (phase-major) layout.
+"""Pallas TPU fused linear attention (streaming, never materializes qkv).
 
 Why: profiling the 256px exact-s2d branched chain (docs/PERFORMANCE.md,
 round-3 attribution) showed the stage-0 `_attention_s2d` path is ~one third
@@ -7,9 +7,8 @@ of total device time: the per-phase qkv einsum materializes a 402 MB
 einsums make repeated passes over it (~2 GB of HBM traffic per call against
 a ~100 MB information need).
 
-This kernel computes the identical math (reference ddpm.py:214-251, s2d
-equivalent in models/unet_s2d.py:_attention_s2d) in two streaming passes
-over x, never materializing q/k/v in HBM:
+This kernel computes the identical math (reference ddpm.py:214-251) in two
+streaming passes over x, never materializing q/k/v in HBM:
 
   pass 1 (kv):  per row-tile — RMSNorm → k,v projections → online-softmax
                 accumulation of the per-(head,d) k statistics (running max
@@ -17,30 +16,41 @@ over x, never materializing q/k/v in HBM:
                 all VMEM-resident.
   (tiny XLA):   ctxᵀ / l, cross-head mask, cast bf16.   [B, 128, 128]
   pass 2 (q):   per row-tile — RMSNorm → q projection → q softmax →
-                out = q·ctx → output projection → out RMSNorm → +x
-                (residual fused), write the tile.
+                out = q·ctx → output projection → out RMSNorm → (+x)
+                (optional fused residual), write the tile.
+
+Token folding: the kernel consumes [B, H, W', 128] rows whose 128 lanes
+hold `nph` independent tokens of C = 128/nph channels each (C ∈ {32, 64,
+128}).  Two callers produce that view for free:
+
+  * the exact-s2d layout ([B, H/2, W/2, 4C] phase-major, nph = f² = 4) via
+    `linear_attention_s2d_fused` — models/unet_s2d._attention_s2d;
+  * the NORMAL layout ([B, H, W, C]) by folding r = 128/C adjacent row
+    pixels into the channel axis via `linear_attention_fused` —
+    models/blocks.LinearAttention.  Valid because both token reductions
+    are position-order invariant (the same argument that makes the s2d
+    layout exact).
 
 Mosaic-safety notes (hard-won, see CLAUDE.md):
   * NO lane-crossing reshapes: tokens stay rows, channels stay the 128
-    lanes.  Per-phase / per-head structure is handled with block-diagonal
-    weight embeddings (built on host) and a 32-block 0/1 mask matmul for
-    intra-group sums (same trick as ops/pallas_groupnorm.py).
+    lanes.  Per-token-group / per-head structure is handled with
+    block-diagonal weight embeddings (built on host) and block 0/1 mask
+    matmuls for intra-group sums (same trick as ops/pallas_groupnorm.py).
   * q softmax over d within a head uses a full-row max as the stability
-    shift (any per-token constant is exact for softmax) + the block-mask
+    shift (any per-token constant is exact for softmax) + the head-mask
     matmul for the per-head denominator — no 32-lane-group reductions.
   * the context is accumulated TRANSPOSED (ctxᵀ[e, d]) so the online
     rescale factor (per d) broadcasts along rows, not columns.
 
-Restrictions (dispatcher falls back to the XLA path otherwise):
-C == dim_head == 32, heads == 4, f == 2  →  ff·C == heads·d == 128 lanes.
-Gradients: custom_vjp recomputes through the XLA reference.
+Restrictions (dispatchers fall back to XLA otherwise): heads == 4,
+dim_head == 32, C·nph == 128, bf16.  Gradients: custom_vjp recompute
+through the XLA reference.
 """
 
 from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,15 +62,15 @@ _NEG = -1e30
 
 
 # ---------------------------------------------------------------------------
-# XLA reference (the exact _attention_s2d math, self-contained) — used for
-# parity tests and as the recompute backward.
+# XLA reference (exact _attention_s2d / LinearAttention math on the folded
+# view) — used for parity tests and as the recompute backward.
 # ---------------------------------------------------------------------------
-def linear_attention_s2d_reference(
-    x, g_in, w_qkv, w_out, b_out, g_out, heads, dim_head, f, add_residual=True
+def linear_attention_folded_reference(
+    x, g_in, w_qkv, w_out, b_out, g_out, heads, dim_head, nph,
+    add_residual=True,
 ):
     b, h, w, cc = x.shape
-    ff = f * f
-    c = cc // ff
+    c = cc // nph
     hidden = heads * dim_head
     dtype = x.dtype
 
@@ -70,60 +80,70 @@ def linear_attention_s2d_reference(
         normed = x32 / jnp.maximum(norm, 1e-12)
         return (normed * g * math.sqrt(x5.shape[-1])).astype(dtype)
 
-    x5 = x.reshape(b, h, w, ff, c)
+    x5 = x.reshape(b, h, w, nph, c)
     xn = rms(x5, g_in)
     qkv = jnp.einsum("bhwpc,cd->bhwpd", xn, w_qkv.astype(dtype))
-    qkv = qkv.reshape(b, h, w, ff, 3, heads, dim_head)
+    qkv = qkv.reshape(b, h, w, nph, 3, heads, dim_head)
     q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
     scale = dim_head**-0.5
     q = jax.nn.softmax(q.astype(jnp.float32), axis=-1).astype(dtype) * scale
     k = jax.nn.softmax(k.astype(jnp.float32), axis=(1, 2, 3)).astype(dtype)
     context = jnp.einsum("bhwpqd,bhwpqe->bqde", k, v)
     out = jnp.einsum("bqde,bhwpqd->bhwpqe", context, q)
-    out = out.reshape(b, h, w, ff, hidden)
+    out = out.reshape(b, h, w, nph, hidden)
     out = jnp.einsum("bhwpd,de->bhwpe", out, w_out.astype(dtype))
     out = out + b_out.astype(dtype)
-    out = rms(out, g_out).reshape(b, h, w, ff * c)
+    out = rms(out, g_out).reshape(b, h, w, cc)
     return out + x if add_residual else out
+
+
+# kept under the original name for existing tests/callers (nph = f²)
+def linear_attention_s2d_reference(
+    x, g_in, w_qkv, w_out, b_out, g_out, heads, dim_head, f, add_residual=True
+):
+    return linear_attention_folded_reference(
+        x, g_in, w_qkv, w_out, b_out, g_out, heads, dim_head, f * f,
+        add_residual,
+    )
 
 
 # ---------------------------------------------------------------------------
 # host-side constants
 # ---------------------------------------------------------------------------
-def _block_mask32() -> jnp.ndarray:
-    """[128, 128] 0/1 mask: 1 iff same 32-wide block (phase / head group)."""
-    idx = jnp.arange(LANES) // 32
+def _block_mask(block: int) -> jnp.ndarray:
+    """[128, 128] 0/1 mask: 1 iff same `block`-wide lane group."""
+    idx = jnp.arange(LANES) // block
     return (idx[:, None] == idx[None, :]).astype(jnp.float32)
 
 
-def _embed_bd(wseg: jnp.ndarray, ff: int) -> jnp.ndarray:
-    """Block-diagonal embedding: [c, m] per-phase weight → [ff·c, ff·m]."""
-    return jax.scipy.linalg.block_diag(*([wseg] * ff))
+def _embed_bd(wseg: jnp.ndarray, nph: int) -> jnp.ndarray:
+    """Block-diagonal embedding: [c, m] per-token-group weight → [nph·c, nph·m]."""
+    return jax.scipy.linalg.block_diag(*([wseg] * nph))
 
 
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
-def _rms_in(x_ref, mblk_ref, gt_ref):
+def _rms_in(x_ref, mnorm_ref, gt_ref):
     xf = x_ref[0].astype(jnp.float32)  # [T, 128]
     sq = xf * xf
-    s_ph = jax.lax.dot(sq, mblk_ref[...], preferred_element_type=jnp.float32)
-    xn = xf * (gt_ref[...] / jnp.maximum(jnp.sqrt(s_ph), 1e-12))
+    s_g = jax.lax.dot(sq, mnorm_ref[...], preferred_element_type=jnp.float32)
+    xn = xf * (gt_ref[...] / jnp.maximum(jnp.sqrt(s_g), 1e-12))
     return xf, xn.astype(jnp.bfloat16)
 
 
-def _kv_kernel(x_ref, wk_ref, wv_ref, mblk_ref, gt_ref,
-               l_ref, ctxt_ref, m_scr):
+def _kv_kernel(x_ref, wk_ref, wv_ref, mnorm_ref, gt_ref,
+               l_ref, ctxt_ref, m_scr, *, nph: int):
     t = pl.program_id(1)
-    _, xb = _rms_in(x_ref, mblk_ref, gt_ref)
+    _, xb = _rms_in(x_ref, mnorm_ref, gt_ref)
     k = jax.lax.dot(xb, wk_ref[...], preferred_element_type=jnp.float32)
     k = k.astype(jnp.bfloat16).astype(jnp.float32)  # match einsum rounding
     v = jax.lax.dot(xb, wv_ref[...], preferred_element_type=jnp.float32)
-    v = v.astype(jnp.bfloat16)  # [T, 4·128]
+    v = v.astype(jnp.bfloat16)  # [T, nph·128]
 
-    # tile max per (head, d) lane, folded over the 4 phase column-blocks
+    # tile max per (head, d) lane, folded over the nph token-group blocks
     m_tile = jnp.full((1, LANES), _NEG, jnp.float32)
-    for p in range(4):
+    for p in range(nph):
         kp = k[:, p * LANES : (p + 1) * LANES]
         m_tile = jnp.maximum(m_tile, jnp.max(kp, axis=0, keepdims=True))
 
@@ -139,7 +159,7 @@ def _kv_kernel(x_ref, wk_ref, wv_ref, mblk_ref, gt_ref,
 
     l_tile = jnp.zeros((1, LANES), jnp.float32)
     ctx_tile = jnp.zeros((LANES, LANES), jnp.float32)  # ctxᵀ[e, d]
-    for p in range(4):
+    for p in range(nph):
         kp = k[:, p * LANES : (p + 1) * LANES]
         vp = v[:, p * LANES : (p + 1) * LANES]
         e = jnp.exp(kp - m_new)  # [T, 128]
@@ -151,9 +171,6 @@ def _kv_kernel(x_ref, wk_ref, wv_ref, mblk_ref, gt_ref,
             preferred_element_type=jnp.float32,
         )
 
-    # online rescale: previous accumulations used the old running max.
-    # m_scr already holds m_new; reconstruct the factor from the old max
-    # via a second scratch row carrying it.
     @pl.when(t == 0)
     def _():
         l_ref[0] = l_tile
@@ -168,21 +185,22 @@ def _kv_kernel(x_ref, wk_ref, wv_ref, mblk_ref, gt_ref,
     m_scr[1:2] = m_new  # stash current max for the next tile's rescale
 
 
-def _q_kernel(x_ref, wq_ref, wout_ref, mblk_ref, gt_ref, gout_ref, bout_ref,
-              ctxn_ref, out_ref, *, scale: float, add_residual: bool):
-    xf, xb = _rms_in(x_ref, mblk_ref, gt_ref)
+def _q_kernel(x_ref, wq_ref, wout_ref, mnorm_ref, mhead_ref, gt_ref,
+              gout_ref, bout_ref, ctxn_ref, out_ref,
+              *, scale: float, add_residual: bool, nph: int):
+    xf, xb = _rms_in(x_ref, mnorm_ref, gt_ref)
     q = jax.lax.dot(xb, wq_ref[...], preferred_element_type=jnp.float32)
-    q = q.astype(jnp.bfloat16).astype(jnp.float32)  # [T, 4·128]
-    mblk = mblk_ref[...]
+    q = q.astype(jnp.bfloat16).astype(jnp.float32)  # [T, nph·128]
+    mhead = mhead_ref[...]
     ctxn = ctxn_ref[0]  # ctxᵀ[e, d] bf16
 
     out_acc = jnp.zeros((x_ref.shape[1], LANES), jnp.float32)
-    for p in range(4):
+    for p in range(nph):
         qp = q[:, p * LANES : (p + 1) * LANES]
         # stability shift: full-row max (any per-token constant is exact)
         rmax = jnp.max(qp, axis=1, keepdims=True)  # [T, 1]
         e = jnp.exp(qp - rmax)
-        den = jax.lax.dot(e, mblk, preferred_element_type=jnp.float32)
+        den = jax.lax.dot(e, mhead, preferred_element_type=jnp.float32)
         qs = (e / den).astype(jnp.bfloat16) * jnp.bfloat16(scale)
         # out[t, e] = Σ_d qs[t, d]·ctxᵀ[e, d]   (contract lanes with lanes)
         op = jax.lax.dot_general(
@@ -195,26 +213,25 @@ def _q_kernel(x_ref, wq_ref, wout_ref, mblk_ref, gt_ref, gout_ref, bout_ref,
         )
     out_acc = out_acc + bout_ref[...]
 
-    # output RMSNorm over each 32-lane phase group (+ fused residual)
+    # output RMSNorm over each C-lane token group (+ optional residual)
     ob = out_acc.astype(jnp.bfloat16).astype(jnp.float32)
     sq = ob * ob
-    s_ph = jax.lax.dot(sq, mblk, preferred_element_type=jnp.float32)
-    on = ob * (gout_ref[...] / jnp.maximum(jnp.sqrt(s_ph), 1e-12))
+    s_g = jax.lax.dot(sq, mnorm_ref[...], preferred_element_type=jnp.float32)
+    on = ob * (gout_ref[...] / jnp.maximum(jnp.sqrt(s_g), 1e-12))
     y = on + xf if add_residual else on
     out_ref[0] = y.astype(out_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
-# wrapper
+# wrappers
 # ---------------------------------------------------------------------------
-def supports(x_shape: Tuple[int, ...], heads: int, dim_head: int, f: int) -> bool:
+def supports(x_shape, heads: int, dim_head: int, nph: int) -> bool:
     b, h, w, cc = x_shape
     return (
-        f == 2
-        and heads == 4
+        heads == 4
         and dim_head == 32
-        and cc == 128
-        and cc // (f * f) == 32
+        and cc == LANES
+        and nph in (1, 2, 4)
         and (h * w) % 8 == 0
     )
 
@@ -226,61 +243,52 @@ def _row_tile(hw: int) -> int:
     return hw
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10)
-)
-def linear_attention_s2d_fused(
-    x, g_in, w_qkv, w_out, b_out, g_out,
-    heads=4, dim_head=32, f=2, add_residual=True, interpret=False,
-):
-    """Fused s2d linear attention (+ residual).  x: [B, H, W, ff·C] bf16
-    phase-major; params are the unmodified LinearAttention tree leaves:
-    g_in=norm.g [C], w_qkv=to_qkv.kernel[0,0] [C, 3·hidden],
-    w_out=to_out.kernel[0,0] [hidden, C], b_out [C], g_out=out_norm.g [C].
-    """
-    return _forward(
-        x, g_in, w_qkv, w_out, b_out, g_out,
-        heads, dim_head, f, add_residual, interpret,
-    )
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _fused_core(x, g_in, w_qkv, w_out, b_out, g_out,
+                heads, dim_head, nph, add_residual, interpret):
+    """x: [B, H, W', 128] bf16 with nph tokens of C = 128/nph channels per
+    row; params are the unmodified LinearAttention tree leaves."""
+    return _forward(x, g_in, w_qkv, w_out, b_out, g_out,
+                    heads, dim_head, nph, add_residual, interpret)
 
 
 def _forward(x, g_in, w_qkv, w_out, b_out, g_out,
-             heads, dim_head, f, add_residual, interpret):
-    assert supports(x.shape, heads, dim_head, f), (x.shape, heads, dim_head, f)
+             heads, dim_head, nph, add_residual, interpret):
+    assert supports(x.shape, heads, dim_head, nph), (x.shape, heads, nph)
     b, h, w, cc = x.shape
-    ff = f * f
-    c = cc // ff
+    c = cc // nph
     hidden = heads * dim_head
     hw = h * w
     T = _row_tile(hw)
     nt = hw // T
     scale = dim_head**-0.5
 
-    wq = _embed_bd(w_qkv[:, 0 * hidden : 1 * hidden], ff).astype(jnp.bfloat16)
-    wk = _embed_bd(w_qkv[:, 1 * hidden : 2 * hidden], ff).astype(jnp.bfloat16)
-    wv = _embed_bd(w_qkv[:, 2 * hidden : 3 * hidden], ff).astype(jnp.bfloat16)
-    # wout_emb[p]: [hidden, 128] with w_out placed at columns 32p..32p+32
-    wout_emb = jnp.zeros((ff, hidden, LANES), jnp.bfloat16)
-    for p in range(ff):
+    wq = _embed_bd(w_qkv[:, 0 * hidden : 1 * hidden], nph).astype(jnp.bfloat16)
+    wk = _embed_bd(w_qkv[:, 1 * hidden : 2 * hidden], nph).astype(jnp.bfloat16)
+    wv = _embed_bd(w_qkv[:, 2 * hidden : 3 * hidden], nph).astype(jnp.bfloat16)
+    # wout_emb[p]: [hidden, 128] with w_out placed at columns p·c..(p+1)·c
+    wout_emb = jnp.zeros((nph, hidden, LANES), jnp.bfloat16)
+    for p in range(nph):
         wout_emb = wout_emb.at[p, :, p * c : (p + 1) * c].set(
             w_out.astype(jnp.bfloat16)
         )
-    mblk = _block_mask32()
-    g_t = jnp.tile(g_in.astype(jnp.float32), ff)[None, :] * math.sqrt(c)
-    gout_t = jnp.tile(g_out.astype(jnp.float32), ff)[None, :] * math.sqrt(c)
-    bout_t = jnp.tile(b_out.astype(jnp.float32), ff)[None, :]
+    mnorm = _block_mask(c)
+    mhead = _block_mask(dim_head)
+    g_t = jnp.tile(g_in.astype(jnp.float32), nph)[None, :] * math.sqrt(c)
+    gout_t = jnp.tile(g_out.astype(jnp.float32), nph)[None, :] * math.sqrt(c)
+    bout_t = jnp.tile(b_out.astype(jnp.float32), nph)[None, :]
 
     xr = x.reshape(b, hw, cc)
     row_spec = pl.BlockSpec((1, T, cc), lambda i, t: (i, t, 0))
     full = lambda shape: pl.BlockSpec(shape, lambda i, t: tuple(0 for _ in shape))
 
     l, ctxt = pl.pallas_call(
-        _kv_kernel,
+        functools.partial(_kv_kernel, nph=nph),
         grid=(b, nt),
         in_specs=[
             row_spec,
-            full((cc, ff * hidden)),
-            full((cc, ff * hidden)),
+            full((cc, nph * hidden)),
+            full((cc, nph * hidden)),
             full((LANES, LANES)),
             full((1, LANES)),
         ],
@@ -294,19 +302,22 @@ def _forward(x, g_in, w_qkv, w_out, b_out, g_out,
         ],
         scratch_shapes=[pltpu.VMEM((8, LANES), jnp.float32)],
         interpret=interpret,
-    )(xr, wk, wv, mblk, g_t)
+    )(xr, wk, wv, mnorm, g_t)
 
     # softmax(k) denominator + cross-head mask (ctxᵀ[e, d]: divide per d
     # lane, zero (e, d) pairs from different heads), cast for the q matmul
-    ctxn = (ctxt / l).astype(jnp.bfloat16) * mblk.astype(jnp.bfloat16)
+    ctxn = (ctxt / l).astype(jnp.bfloat16) * mhead.astype(jnp.bfloat16)
 
     out = pl.pallas_call(
-        functools.partial(_q_kernel, scale=scale, add_residual=add_residual),
+        functools.partial(
+            _q_kernel, scale=scale, add_residual=add_residual, nph=nph
+        ),
         grid=(b, nt),
         in_specs=[
             row_spec,
-            full((cc, ff * hidden)),
-            full((ff, hidden, LANES)),
+            full((cc, nph * hidden)),
+            full((nph, hidden, LANES)),
+            full((LANES, LANES)),
             full((LANES, LANES)),
             full((1, LANES)),
             full((1, LANES)),
@@ -316,26 +327,62 @@ def _forward(x, g_in, w_qkv, w_out, b_out, g_out,
         out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((b, hw, cc), x.dtype),
         interpret=interpret,
-    )(xr, wq, wout_emb, mblk, g_t, gout_t, bout_t, ctxn)
+    )(xr, wq, wout_emb, mnorm, mhead, g_t, gout_t, bout_t, ctxn)
     return out.reshape(b, h, w, cc)
 
 
 def _fwd(x, g_in, w_qkv, w_out, b_out, g_out,
-         heads, dim_head, f, add_residual, interpret):
+         heads, dim_head, nph, add_residual, interpret):
     out = _forward(x, g_in, w_qkv, w_out, b_out, g_out,
-                   heads, dim_head, f, add_residual, interpret)
+                   heads, dim_head, nph, add_residual, interpret)
     return out, (x, g_in, w_qkv, w_out, b_out, g_out)
 
 
-def _bwd(heads, dim_head, f, add_residual, interpret, res, grad):
+def _bwd(heads, dim_head, nph, add_residual, interpret, res, grad):
     x, g_in, w_qkv, w_out, b_out, g_out = res
     _, vjp = jax.vjp(
-        lambda *a: linear_attention_s2d_reference(
-            *a, heads, dim_head, f, add_residual
+        lambda *a: linear_attention_folded_reference(
+            *a, heads, dim_head, nph, add_residual
         ),
         x, g_in, w_qkv, w_out, b_out, g_out,
     )
     return vjp(grad)
 
 
-linear_attention_s2d_fused.defvjp(_fwd, _bwd)
+_fused_core.defvjp(_fwd, _bwd)
+
+
+def linear_attention_s2d_fused(
+    x, g_in, w_qkv, w_out, b_out, g_out,
+    heads=4, dim_head=32, f=2, add_residual=True, interpret=False,
+):
+    """Fused linear attention on a phase-major s2d tensor
+    ([B, H/f, W/f, f²·C], models/unet_s2d._attention_s2d)."""
+    return _fused_core(x, g_in, w_qkv, w_out, b_out, g_out,
+                       heads, dim_head, f * f, add_residual, interpret)
+
+
+def linear_attention_fused(
+    x, g_in, w_qkv, w_out, b_out, g_out,
+    heads=4, dim_head=32, add_residual=False, interpret=False,
+):
+    """Fused linear attention on a NORMAL-layout [B, H, W, C] tensor
+    (models/blocks.LinearAttention): folds r = 128/C adjacent row pixels
+    into the lane axis (free reshape), runs the streaming kernel, unfolds.
+    Token order changes are irrelevant — both reductions are
+    position-order invariant."""
+    b, h, w, c = x.shape
+    r = LANES // c
+    assert w % r == 0, (x.shape, r)
+    xf = x.reshape(b, h, w // r, LANES)
+    out = _fused_core(xf, g_in, w_qkv, w_out, b_out, g_out,
+                      heads, dim_head, r, add_residual, interpret)
+    return out.reshape(b, h, w, c)
+
+
+def supports_normal_layout(x_shape, heads: int, dim_head: int) -> bool:
+    b, h, w, c = x_shape
+    if c not in (32, 64, 128):
+        return False
+    r = LANES // c
+    return w % r == 0 and supports((b, h, w // r, LANES), heads, dim_head, r)

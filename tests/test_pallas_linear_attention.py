@@ -91,6 +91,59 @@ def test_gradients_flow_through_custom_vjp():
         )
 
 
+@pytest.mark.parametrize("c", [32, 64, 128])
+def test_normal_layout_fold_matches_module(c):
+    """linear_attention_fused on a NORMAL-layout [B,H,W,C] tensor (pixel
+    folding to 128 lanes) == the flax LinearAttention module math."""
+    from localdiffusion_tpu.models.blocks import LinearAttention
+    from localdiffusion_tpu.ops.pallas_linear_attention import (
+        linear_attention_fused,
+        supports_normal_layout,
+    )
+
+    key = jax.random.PRNGKey(5)
+    shape = (1, 8, 16, c)
+    assert supports_normal_layout(shape, HEADS, DIM_HEAD)
+    x = jax.random.normal(jax.random.fold_in(key, 1), shape).astype(jnp.bfloat16)
+    mod = LinearAttention(HEADS, DIM_HEAD, jnp.bfloat16)
+    params = mod.init(key, x)["params"]
+
+    ref = mod.apply({"params": params}, x)  # CPU → XLA path inside
+    got = linear_attention_fused(
+        x, params["norm"]["g"], params["to_qkv"]["kernel"][0, 0],
+        params["to_out"]["kernel"][0, 0], params["to_out"]["bias"],
+        params["out_norm"]["g"], HEADS, DIM_HEAD, False, True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=0.04, rtol=0.05,
+    )
+
+
+def test_blocks_dispatch_engages_fused(monkeypatch):
+    """LinearAttention routes through the kernel at >=4096 tokens under
+    LOCALDIFF_FUSED_LINATT=interpret and matches its own XLA path."""
+    import localdiffusion_tpu.models.blocks as B
+
+    monkeypatch.setenv("LOCALDIFF_FUSED_LINATT", "interpret")
+    monkeypatch.setattr(B, "_FUSED_LINATT", None)
+
+    key = jax.random.PRNGKey(6)
+    x = jax.random.normal(key, (1, 64, 64, 32)).astype(jnp.bfloat16)
+    mod = B.LinearAttention(HEADS, DIM_HEAD, jnp.bfloat16)
+    params = mod.init(key, x)
+    got = mod.apply(params, x)
+    assert B._FUSED_LINATT not in (None, False)
+
+    monkeypatch.setattr(B, "_FUSED_LINATT", False)  # force XLA path
+    ref = mod.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=0.04, rtol=0.05,
+    )
+    monkeypatch.setattr(B, "_FUSED_LINATT", None)
+
+
 def test_unet_s2d_dispatch_uses_fused(monkeypatch):
     """With LOCALDIFF_FUSED_LINATT=interpret the s2d UNet routes its
     stage-0 linear attention through the kernel and still matches the
