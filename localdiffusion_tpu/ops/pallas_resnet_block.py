@@ -66,8 +66,8 @@ def _conv_stats_kernel(
     up = xu_ref[0, 0].astype(jnp.float32)  # [1, W, Cin]
     dn = xd_ref[0, 0].astype(jnp.float32)
     if apply_in_affine:
-        a = a_ref[0:1].astype(jnp.float32)  # [1, LANES] → broadcasts
-        b = b_ref[0:1].astype(jnp.float32)
+        a = a_ref[0].astype(jnp.float32)  # [1, LANES] → broadcasts
+        b = b_ref[0].astype(jnp.float32)
 
         def ep(v):
             y = v * a + b
@@ -113,7 +113,7 @@ def _conv_stats_kernel(
 def _epilogue_kernel(h_ref, x_ref, a_ref, b_ref, wres_ref, bres_ref, out_ref,
                      *, has_res_conv: bool):
     hf = h_ref[0].astype(jnp.float32)  # [T, LANES]
-    y = hf * a_ref[0:1].astype(jnp.float32) + b_ref[0:1].astype(jnp.float32)
+    y = hf * a_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
     y = y * jax.nn.sigmoid(y)
     xf = x_ref[0]
     if has_res_conv:
@@ -235,7 +235,10 @@ def _conv_stats_call(x, wk, bias_t, a, b, *, apply_in_affine, interpret):
         (1, 1, 1, wdim, cin),
         lambda i, t: (i, clamp(t + 1, 0, nt - 1), 0, 0, 0),
     )
-    vec_spec = pl.BlockSpec((1, LANES), lambda i, t: (i, 0))
+    # affines ride as [B, 1, LANES]: a (1, LANES) block over a [B, LANES]
+    # array violates Mosaic's 8-row minimum; a leading 1-sized block dim
+    # with last-two dims equal to the array's is always legal
+    vec_spec = pl.BlockSpec((1, 1, LANES), lambda i, t: (i, 0, 0))
 
     kern = functools.partial(
         _conv_stats_kernel, th=th, wdim=wdim, cin=cin,
@@ -264,7 +267,7 @@ def _conv_stats_call(x, wk, bias_t, a, b, *, apply_in_affine, interpret):
             pltpu.VMEM((th + 2, wdim + 2, cin), jnp.bfloat16)
         ],
         interpret=interpret,
-    )(xv, xv, xv, wk, bias_t, a, b)
+    )(xv, xv, xv, wk, bias_t, a[:, None, :], b[:, None, :])
     return h_out.reshape(bsz, h, wdim, LANES), s[:, 0], ss[:, 0]
 
 
@@ -329,7 +332,7 @@ def _forward(x, params, scale_shift, dim_out, groups, f, cin_sizes,
     nt3 = hw // t3
     row = pl.BlockSpec((1, t3, LANES), lambda i, t: (i, t, 0))
     rowx = pl.BlockSpec((1, t3, cin), lambda i, t: (i, t, 0))
-    vec = pl.BlockSpec((1, LANES), lambda i, t: (i, 0))
+    vec = pl.BlockSpec((1, 1, LANES), lambda i, t: (i, 0, 0))
     out = pl.pallas_call(
         functools.partial(_epilogue_kernel, has_res_conv=has_res),
         grid=(bsz, nt3),
@@ -341,8 +344,8 @@ def _forward(x, params, scale_shift, dim_out, groups, f, cin_sizes,
         out_specs=row,
         out_shape=jax.ShapeDtypeStruct((bsz, hw, LANES), x.dtype),
         interpret=interpret,
-    )(h2.reshape(bsz, hw, LANES), xb.reshape(bsz, hw, cin), a2, bb2,
-      wres, bres)
+    )(h2.reshape(bsz, hw, LANES), xb.reshape(bsz, hw, cin),
+      a2[:, None, :], bb2[:, None, :], wres, bres)
     return out.reshape(bsz, h, wdim, LANES)
 
 
