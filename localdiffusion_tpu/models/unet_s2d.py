@@ -768,13 +768,15 @@ def apply_unet_s2d(
         )
         x = s2d_conv(x, p[f"up{j}_up"], f, None, dtype)  # is_last: plain conv3×3
 
-    # ---- final ----
-    with jax.named_scope("s2d_final"):
+    # ---- final ---- (two scopes so profiles attribute the fused final
+    # ResnetBlock separately from the f32 output projection + d2s)
+    with jax.named_scope("s2d_final_res"):
         x = jnp.concatenate([x, r], axis=-1)
         x = resnet_block_s2d(
             x, t, p["final_res_block"], dim, groups, f, dtype, [dim_in, init_dim]
         )
+    with jax.named_scope("s2d_final_conv"):
         out = s2d_matmul_1x1(
             x.astype(jnp.float32), p["final_conv"], f, None, jnp.float32
         )
-    return depth_to_space(out, f)
+        return depth_to_space(out, f)
