@@ -60,6 +60,8 @@ from localdiffusion_tpu.models.blocks import (
     ResnetBlock,
     TimeMlp,
     Upsample,
+    _fallback_watch_size,
+    warn_fused_fallback,
 )
 from localdiffusion_tpu.ops.attention import full_attention
 
@@ -387,20 +389,21 @@ def resnet_block_s2d(x, t_emb, p, dim_out, groups, f, dtype, cin_sizes):
         scale_shift = tuple(jnp.split(ht, 2, axis=-1))
 
     fused = _fused_resnet_block()
-    if (
-        fused
-        and dtype == jnp.bfloat16
-        and fused[1](x.shape, dim_out, groups, f)
-    ):
-        fn, _, interpret = fused
-        ss = None
-        if scale_shift[0] is not None:
-            ss = (scale_shift[0].astype(jnp.float32),
-                  scale_shift[1].astype(jnp.float32))
-        return fn(
-            x.astype(jnp.bfloat16), p, ss, dim_out, groups, f,
-            tuple(cin_sizes) if cin_sizes is not None else None, interpret,
-        )
+    if fused and dtype == jnp.bfloat16:
+        if fused[1](x.shape, dim_out, groups, f):
+            fn, _, interpret = fused
+            ss = None
+            if scale_shift[0] is not None:
+                ss = (scale_shift[0].astype(jnp.float32),
+                      scale_shift[1].astype(jnp.float32))
+            return fn(
+                x.astype(jnp.bfloat16), p, ss, dim_out, groups, f,
+                tuple(cin_sizes) if cin_sizes is not None else None, interpret,
+            )
+        if x.shape[1] * x.shape[2] * f * f >= _fallback_watch_size():
+            warn_fused_fallback(
+                "resnet_block", x.shape, f"s2d dim_out={dim_out} f={f}"
+            )
     h = s2d_conv(x, p["block1"]["proj"], f, cin_sizes, dtype)
     h = gn_film_silu_s2d(
         h,
@@ -479,22 +482,23 @@ def _attention_s2d(x, p, heads, dim_head, f, dtype, full: bool,
     """
     b, h, w, cc = x.shape
     fused = _fused_linear_attention()
-    if (
-        not full
-        and fused
-        and dtype == jnp.bfloat16
-        and fused[1](x.shape, heads, dim_head, f * f)
-    ):
-        fn, _, interpret = fused
-        return fn(
-            x.astype(jnp.bfloat16),
-            p["norm"]["g"],
-            p["to_qkv"]["kernel"][0, 0],
-            p["to_out"]["kernel"][0, 0],
-            p["to_out"]["bias"],
-            p["out_norm"]["g"],
-            heads, dim_head, f, add_residual, interpret,
-        )
+    if not full and fused and dtype == jnp.bfloat16:
+        if fused[1](x.shape, heads, dim_head, f * f):
+            fn, _, interpret = fused
+            return fn(
+                x.astype(jnp.bfloat16),
+                p["norm"]["g"],
+                p["to_qkv"]["kernel"][0, 0],
+                p["to_out"]["kernel"][0, 0],
+                p["to_out"]["bias"],
+                p["out_norm"]["g"],
+                heads, dim_head, f, add_residual, interpret,
+            )
+        if h * w * f * f >= _fallback_watch_size():
+            warn_fused_fallback(
+                "linear_attention", x.shape,
+                f"s2d heads={heads} dim_head={dim_head} f={f}",
+            )
     ff = f * f
     c = cc // ff
     n = h * w * ff

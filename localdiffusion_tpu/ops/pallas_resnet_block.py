@@ -1,5 +1,25 @@
-"""Pallas TPU fused s2d ResnetBlock: conv3×3 + GroupNorm + FiLM + SiLU ×2
+"""Pallas TPU fused ResnetBlock: conv3×3 + GroupNorm + FiLM + SiLU ×2
 + residual in three streaming passes.
+
+Two public entries share the same three-pass kernel pipeline:
+
+  * `resnet_block_s2d_fused` — phase-major s2d tensors ([B, H/2, W/2, 4C],
+    dim_out=32), the exact-layout stage-0 path (models/unet_s2d.py).
+  * `resnet_block_wfold_fused` — NORMAL-layout [B, H, W, C] tensors with
+    dim_out ∈ {32, 64, 128}: folds r = 128/dim_out adjacent W pixels into
+    the lane axis (lane = p·C + c — a FREE reshape, unlike the 2×2 s2d
+    transpose) and runs the identical pipeline.  This is the round-4
+    kernel for the level-1 stages of the 256px exact-s2d chain
+    (int_down1 C=32@128², int_up2 C=64@128² — 22% of device time as XLA
+    GN `convert_reduce` fusions, docs/PERFORMANCE.md round-3) and any
+    other normal-layout ResnetBlock whose dim_out divides 128.
+
+    Why the tap structure survives the fold: for a K=3 / pad-1 conv and
+    any fold factor r, output phase a at folded column X reads original
+    column r·X + a + (l − 1) = r·(X + p) + q with p ∈ {−1, 0, 1} — the
+    folded kernel is always 3×3 with pad 1 (1/r dense in W → r× FLOPs,
+    but C·r lanes run at full occupancy and every GN/FiLM/SiLU pass rides
+    the conv's VMEM residency).
 
 After the fused linear attention landed, the re-profiled 256px exact-s2d
 chain (docs/PERFORMANCE.md round-3) spends its folded-stage time in the
@@ -197,6 +217,37 @@ def supports(x_shape, dim_out: int, groups: int, f: int) -> bool:
     )
 
 
+def supports_normal(x_shape, dim_out: int, groups: int) -> bool:
+    """W-fold entry: normal-layout [B, H, W, C], r = 128/dim_out W pixels
+    folded into lanes."""
+    b, h, w, cin = x_shape
+    if dim_out not in (32, 64, 128):
+        return False
+    r = LANES // dim_out
+    return (
+        dim_out % groups == 0
+        and w % r == 0
+        and (w // r) >= 8
+        and h >= 2
+        and r * cin <= 512  # VMEM guard (xbuf + two conv kernels)
+        and (h * (w // r)) % 8 == 0
+    )
+
+
+def wfold_conv_kernel(W: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Original conv kernel [3, 3, Cin, Cout] (pad 1) → W-fold kernel
+    [3, 3, r·Cin, r·Cout] (pad 1) for tensors with r adjacent W pixels
+    folded into the lane axis (lane = p·C + c).  H taps are untouched."""
+    from localdiffusion_tpu.models.unet_s2d import _phase_map
+
+    K = W.shape[0]
+    M_np, p_pad = _phase_map(K, K // 2, r)
+    assert M_np.shape[0] == 3 and p_pad == 1, (K, r)  # K=3 ⇒ P=3 for any r
+    M = jnp.asarray(M_np)  # [j, q, l, a]
+    t = jnp.einsum("jqla,klcd->kjqcad", M, W)
+    return t.reshape(K, 3, r * W.shape[2], r * W.shape[3])
+
+
 # ---------------------------------------------------------------------------
 # public entry
 # ---------------------------------------------------------------------------
@@ -271,18 +322,14 @@ def _conv_stats_call(x, wk, bias_t, a, b, *, apply_in_affine, interpret):
     return h_out.reshape(bsz, h, wdim, LANES), s[:, 0], ss[:, 0]
 
 
-def _forward(x, params, scale_shift, dim_out, groups, f, cin_sizes,
-             interpret):
-    from localdiffusion_tpu.models.unet_s2d import s2d_conv_kernel
-
-    assert supports(x.shape, dim_out, groups, f), (x.shape, dim_out, f)
-    bsz, h, wdim, cin = x.shape
-    ff = f * f
+def _three_pass(xb, params, scale_shift, w1, w2, wres, bres, has_res,
+                groups, ff, dim_out, out_dtype, interpret):
+    """Shared pipeline: xb is the folded [B, H', W', cin_lanes] bf16 view
+    (phase-major lanes), w1/w2 are the already-transformed conv kernels
+    producing LANES output lanes (ff phases × dim_out channels)."""
+    bsz, h, wdim, cin = xb.shape
     n = jnp.float32(h * wdim * ff * (dim_out // groups))
-    xb = x.astype(jnp.bfloat16)
 
-    w1, _ = s2d_conv_kernel(params["block1"]["proj"]["kernel"], f, cin_sizes)
-    w2, _ = s2d_conv_kernel(params["block2"]["proj"]["kernel"], f, None)
     b1 = jnp.tile(
         params["block1"]["proj"]["bias"].astype(jnp.float32), ff
     )[None, :]
@@ -314,17 +361,6 @@ def _forward(x, params, scale_shift, dim_out, groups, f, cin_sizes,
     )
 
     # pass 3: GN2 affine + SiLU + residual
-    has_res = "res_conv" in params
-    if has_res:
-        wres, bres = _res_conv_bd(
-            params["res_conv"]["kernel"][0, 0], params["res_conv"]["bias"],
-            ff, list(cin_sizes) if cin_sizes is not None else [cin // ff],
-            dim_out,
-        )
-    else:
-        wres = jnp.zeros((cin, LANES), jnp.bfloat16)
-        bres = jnp.zeros((1, LANES), jnp.float32)
-
     hw = h * wdim
     t3 = 2048
     while hw % t3:
@@ -342,11 +378,63 @@ def _forward(x, params, scale_shift, dim_out, groups, f, cin_sizes,
             pl.BlockSpec((1, LANES), lambda i, t: (0, 0)),
         ],
         out_specs=row,
-        out_shape=jax.ShapeDtypeStruct((bsz, hw, LANES), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, hw, LANES), out_dtype),
         interpret=interpret,
     )(h2.reshape(bsz, hw, LANES), xb.reshape(bsz, hw, cin),
       a2[:, None, :], bb2[:, None, :], wres, bres)
     return out.reshape(bsz, h, wdim, LANES)
+
+
+def _forward(x, params, scale_shift, dim_out, groups, f, cin_sizes,
+             interpret):
+    from localdiffusion_tpu.models.unet_s2d import s2d_conv_kernel
+
+    assert supports(x.shape, dim_out, groups, f), (x.shape, dim_out, f)
+    bsz, h, wdim, cin = x.shape
+    ff = f * f
+    xb = x.astype(jnp.bfloat16)
+
+    w1, _ = s2d_conv_kernel(params["block1"]["proj"]["kernel"], f, cin_sizes)
+    w2, _ = s2d_conv_kernel(params["block2"]["proj"]["kernel"], f, None)
+    has_res = "res_conv" in params
+    if has_res:
+        wres, bres = _res_conv_bd(
+            params["res_conv"]["kernel"][0, 0], params["res_conv"]["bias"],
+            ff, list(cin_sizes) if cin_sizes is not None else [cin // ff],
+            dim_out,
+        )
+    else:
+        wres = jnp.zeros((cin, LANES), jnp.bfloat16)
+        bres = jnp.zeros((1, LANES), jnp.float32)
+    return _three_pass(
+        xb, params, scale_shift, w1, w2, wres, bres, has_res,
+        groups, ff, dim_out, x.dtype, interpret,
+    )
+
+
+def _forward_wfold(x, params, scale_shift, dim_out, groups, interpret):
+    assert supports_normal(x.shape, dim_out, groups), (x.shape, dim_out)
+    bsz, h, w, cin_orig = x.shape
+    r = LANES // dim_out
+    wdim = w // r
+    xb = x.astype(jnp.bfloat16).reshape(bsz, h, wdim, r * cin_orig)
+
+    w1 = wfold_conv_kernel(params["block1"]["proj"]["kernel"], r)
+    w2 = wfold_conv_kernel(params["block2"]["proj"]["kernel"], r)
+    has_res = "res_conv" in params
+    if has_res:
+        wres, bres = _res_conv_bd(
+            params["res_conv"]["kernel"][0, 0], params["res_conv"]["bias"],
+            r, [cin_orig], dim_out,
+        )
+    else:
+        wres = jnp.zeros((r * cin_orig, LANES), jnp.bfloat16)
+        bres = jnp.zeros((1, LANES), jnp.float32)
+    out = _three_pass(
+        xb, params, scale_shift, w1, w2, wres, bres, has_res,
+        groups, r, dim_out, x.dtype, interpret,
+    )
+    return out.reshape(bsz, h, w, dim_out)
 
 
 def _reference(x, params, scale_shift, dim_out, groups, f, cin_sizes):
@@ -396,3 +484,49 @@ def _bwd(dim_out, groups, f, cin_sizes, interpret, res, grad):
 
 
 resnet_block_s2d_fused.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# normal-layout W-fold entry
+# ---------------------------------------------------------------------------
+def _reference_normal(x, params, scale_shift, dim_out, groups):
+    """XLA reference for the normal-layout block (= the flax ResnetBlock
+    math, models/blocks.py:170-195): the s2d reference at f=1 degenerates
+    to the plain conv/GN/FiLM/SiLU chain."""
+    return _reference(x, params, scale_shift, dim_out, groups, 1, None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def resnet_block_wfold_fused(
+    x, params, scale_shift, dim_out, groups, interpret=False
+):
+    """Fused normal-layout ResnetBlock.  x: [B, H, W, Cin] bf16; params is
+    the unmodified flax ResnetBlock subtree (block1/block2 proj+norm,
+    optional res_conv); scale_shift = (scale, shift) [B, dim_out] or None.
+    Folds r = 128/dim_out adjacent W pixels into lanes (free reshape) and
+    runs the same three-pass pipeline as the s2d entry."""
+    return _forward_wfold(x, params, scale_shift, dim_out, groups, interpret)
+
+
+def _fwd_wfold(x, params, scale_shift, dim_out, groups, interpret):
+    out = _forward_wfold(x, params, scale_shift, dim_out, groups, interpret)
+    return out, (x, params, scale_shift)
+
+
+def _bwd_wfold(dim_out, groups, interpret, res, grad):
+    x, params, scale_shift = res
+    if scale_shift is None:
+        _, vjp = jax.vjp(
+            lambda xx, pp: _reference_normal(xx, pp, None, dim_out, groups),
+            x, params,
+        )
+        dx, dp = vjp(grad)
+        return dx, dp, None
+    _, vjp = jax.vjp(
+        lambda xx, pp, ss: _reference_normal(xx, pp, ss, dim_out, groups),
+        x, params, scale_shift,
+    )
+    return vjp(grad)
+
+
+resnet_block_wfold_fused.defvjp(_fwd_wfold, _bwd_wfold)

@@ -38,14 +38,22 @@ ATOL = 0.08  # bf16 rounding-order differences on unit-scale activations
 
 
 def _amortized_ms(fn, *args) -> float:
-    """Median wall ms/call of fn over a device-side scan (dispatch-amortized)."""
+    """Median wall ms/call of fn over a device-side scan (dispatch-amortized).
 
-    def body(c, _):
-        return jax.tree.map(lambda a: a, fn(*((c,) + args[1:]))), None
+    The carry is a tiny data-dependent scalar folded into the input so XLA
+    cannot hoist the loop-invariant call out of the scan; it works for any
+    output shape (skip-concat blocks change channel count)."""
 
-    def scanned(x0):
-        y, _ = jax.lax.scan(body, x0, None, length=CHAIN_ITERS)
-        return y
+    def body(s, _):
+        x = args[0] + s.astype(args[0].dtype)
+        out = fn(x, *args[1:])
+        return jnp.mean(out.astype(jnp.float32)) * 1e-20, None
+
+    def scanned(x0_unused):
+        s, _ = jax.lax.scan(
+            body, jnp.float32(0.0), None, length=CHAIN_ITERS
+        )
+        return s
 
     j = jax.jit(scanned)
     out = jax.block_until_ready(j(args[0]))  # compile
