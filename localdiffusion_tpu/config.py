@@ -278,6 +278,14 @@ class OODConfig:
     detector: str = "patchcore"  # patchcore | seg | manual | none
     backbone: str = "wide_resnet50_2"
     layers: Tuple[str, ...] = ("layer2", "layer3")
+    # pluggable feature extractor (ood/features.py): the reference
+    # hard-wires ImageNet-pretrained WRN50-2 (models.py:62-72), which has no
+    # weights in this environment; in-env-trainable substitutes lift mask
+    # IoU (docs/STATUS.md round-4).  wrn | seg_encoder | denoiser
+    feature_source: str = "wrn"
+    feature_layers: Tuple[str, ...] = ()  # () → per-source default
+    feature_npz: Optional[str] = None  # denoiser params snapshot
+    feature_t: int = 5  # denoiser tap timestep (small = near-clean pass)
     input_size: int = 224  # 84 for mnist (reference test.py:164-167)
     num_neighbors: int = 9
     coreset_ratio: float = 0.1
@@ -314,18 +322,35 @@ class OODConfig:
     # feature stride of each supported WRN50-2 tap (ood/wide_resnet.py)
     _LAYER_STRIDE = {"layer1": 4, "layer2": 8, "layer3": 16, "layer4": 32}
 
+    def _stride_of(self, layer: str) -> int:
+        """Feature stride of a tap, for any feature source (ood/features.py):
+        WRN layerN, seg-encoder inc/downN, denoiser downN_blockM."""
+        if layer in self._LAYER_STRIDE:
+            return self._LAYER_STRIDE[layer]
+        if layer == "inc":
+            return 1
+        if layer.startswith("down") and layer[4:5].isdigit():
+            return 2 ** int(layer[4])
+        return 8
+
     def resolved_mask_dilate(self, image_size: int) -> int:
         """Dilation radius in output pixels; resolves the -1 auto sentinel."""
         if self.mask_dilate >= 0:
             return self.mask_dilate
         if self.detector != "patchcore":
             return 0
-        stride = max(self._LAYER_STRIDE.get(l, 8) for l in self.layers)
+        layers = self.feature_layers or (
+            self.layers if self.feature_source == "wrn"
+            else ("down1", "down2")
+        )
+        stride = max(self._stride_of(l) for l in layers)
         return max(1, round(stride * image_size / self.input_size))
 
     def __post_init__(self):
         if self.detector not in ("patchcore", "seg", "manual", "none"):
             raise ValueError(f"unknown ood detector {self.detector}")
+        if self.feature_source not in ("wrn", "seg_encoder", "denoiser"):
+            raise ValueError(f"unknown feature_source {self.feature_source}")
         if self.mask_dilate < -1:
             raise ValueError("mask_dilate must be >= 0, or -1 for auto")
 

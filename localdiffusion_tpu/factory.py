@@ -124,7 +124,12 @@ def build_frontend(cfg: Config, calibration_images=None, verbose: bool = True
                         cfg = cfg.replace(ood=_dc.replace(cfg.ood, ladder_path=lad))
                         if verbose:
                             print(f"using fitted threshold ladder {lad}")
-            pc = PatchCore(cfg.ood, memory_bank=mb)
+            source = None
+            if cfg.ood.feature_source != "wrn":
+                from localdiffusion_tpu.ood.features import make_feature_source
+
+                source = make_feature_source(cfg, verbose=verbose)
+            pc = PatchCore(cfg.ood, memory_bank=mb, source=source)
         frontend = OODFrontend(cfg, patchcore=pc)
         if pc is not None and pc.memory_bank is None:
             if calibration_images is None:

@@ -1,0 +1,185 @@
+"""Pluggable PatchCore feature sources (VERDICT r3 missing #1).
+
+The reference's PatchCore quality rests entirely on ImageNet-pretrained
+WideResNet50-2 features (reference models.py:62-72); no such weights exist
+in this environment, and a random-init WRN caps mask IoU at ~0.45 at 256px
+(docs/STATUS.md).  This module abstracts the feature extractor so anything
+trainable IN-ENV can feed PatchCore:
+
+  * 'wrn'          — WideResNet50-2 (ImageNet-pretrained if a torch state
+                     dict is supplied, random-init otherwise).  The
+                     faithful default.
+  * 'seg_encoder'  — encoder taps of the trained segmentation UNet
+                     (models/seg_unet.py): features supervised on the
+                     exact anomaly class.
+  * 'denoiser'     — down-path activations of the TRAINED denoiser UNet at
+                     a fixed small timestep: zero extra training — the
+                     denoiser has already learned the normal-anatomy
+                     manifold, so its features separate off-manifold
+                     content.
+
+All sources expose the same surface consumed by ood.patchcore.PatchCore:
+`.layers` (tap names, shallowest first), `.preprocess` ('imagenet' = the
+reference's channel-repeat + ImageNet normalization; 'raw' = the
+conditioning image exactly as the diffusion pipeline sees it) and
+`.apply(x) → {layer: [B, h, w, c]}`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class WRNFeatureSource:
+    """WideResNet50-2 taps — the reference backbone (models.py:62-72)."""
+
+    name = "wrn"
+    preprocess = "imagenet"
+
+    def __init__(self, layers: Tuple[str, ...], params=None, rng=None,
+                 input_size: int = 224):
+        from localdiffusion_tpu.ood.wide_resnet import WideResNet50Features
+
+        self.layers = tuple(layers)
+        self.backbone = WideResNet50Features(layers=self.layers)
+        if params is None:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            dummy = jnp.zeros((1, input_size, input_size, 3))
+            params = self.backbone.init(rng, dummy)
+        self.params = params
+
+    def apply(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        return self.backbone.apply(self.params, x)
+
+    # feature stride per tap (for OODConfig.resolved_mask_dilate)
+    strides = {"layer1": 4, "layer2": 8, "layer3": 16, "layer4": 32}
+
+
+class SegEncoderFeatureSource:
+    """Encoder taps of the trained SegUNet (models/seg_unet.py).
+
+    The seg detector is trained on (conditioning image → anomaly mask) —
+    its encoder features are supervised for exactly the distinction
+    PatchCore needs.  Taps are the DoubleConv outputs via flax
+    capture_intermediates (no model changes)."""
+
+    name = "seg_encoder"
+    preprocess = "raw"
+    strides = {"inc": 1, "down1": 2, "down2": 4, "down3": 8, "down4": 16}
+
+    def __init__(self, params, layers: Tuple[str, ...] = ("down2", "down3")):
+        from localdiffusion_tpu.models.seg_unet import SegUNet
+
+        self.layers = tuple(layers)
+        self.model = SegUNet()
+        self.params = params
+        wanted = set(self.layers)
+        self._filter = lambda mdl, method: mdl.name in wanted
+
+    def apply(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        _, state = self.model.apply(
+            self.params, x,
+            capture_intermediates=self._filter, mutable=["intermediates"],
+        )
+        inter = state["intermediates"]
+        return {k: inter[k]["__call__"][0] for k in self.layers}
+
+
+class DenoiserFeatureSource:
+    """Down-path activations of the trained denoiser UNet at a fixed small
+    timestep.
+
+    Zero extra training: the denoiser already models the normal-anatomy
+    manifold (it was trained only on normal slices), so anomalous content
+    produces off-manifold activations.  The conditioning image is fed as
+    the sample (x = cond) at a small t — a near-clean pass — and the
+    down{i}_block2 outputs are tapped via capture_intermediates."""
+
+    name = "denoiser"
+    preprocess = "raw"
+
+    def __init__(self, gd, params, t: int = 5,
+                 layers: Tuple[str, ...] = ("down2_block2", "down3_block2")):
+        self.layers = tuple(layers)
+        self.gd = gd
+        self.params = params
+        self.t = int(t)
+        wanted = set(self.layers)
+        self._filter = lambda mdl, method: mdl.name in wanted
+        # stride of each tap under the faithful arch (stage i at H/2^i);
+        # stem_space_to_depth shifts everything one level down
+        s = gd.model_cfg.stem_space_to_depth
+        self.strides = {
+            f"down{i}_block{j}": (2**i) * s
+            for i in range(len(gd.model_cfg.dim_mults))
+            for j in (1, 2)
+        }
+
+    def apply(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        b = x.shape[0]
+        t = jnp.full((b,), self.t, jnp.float32)
+        # x doubles as sample and condition: the down path encodes the
+        # sample; a near-zero t makes the pass effectively deterministic
+        _, state = self.gd.model.apply(
+            self.params, x, x, t,
+            capture_intermediates=self._filter, mutable=["intermediates"],
+        )
+        inter = state["intermediates"]
+        return {k: inter[k]["__call__"][0].astype(jnp.float32)
+                for k in self.layers}
+
+
+def make_feature_source(cfg, denoiser=None, rng=None, verbose: bool = True):
+    """cfg is the full Config; reads cfg.ood.feature_source.
+
+    denoiser: optional (gd, params) tuple for 'denoiser' — when absent the
+    params are loaded from cfg.ood.feature_npz (a slim params snapshot,
+    utils/params_io.py)."""
+    import os
+
+    ood = cfg.ood
+    name = ood.feature_source
+    if name == "wrn":
+        params = None
+        if ood.backbone_weights_path:
+            from localdiffusion_tpu.ood.patchcore import load_backbone_weights
+
+            params = load_backbone_weights(ood.backbone_weights_path)
+        return WRNFeatureSource(ood.layers, params=params, rng=rng,
+                                input_size=ood.input_size)
+    if name == "seg_encoder":
+        import orbax.checkpoint as ocp
+
+        from localdiffusion_tpu.models.seg_unet import SegUNet
+
+        path = ood.seg_model_path or os.path.abspath("results/seg/best_dice")
+        size = cfg.diffusion.image_size
+        template = jax.device_get(
+            SegUNet().init(
+                jax.random.PRNGKey(0), np.zeros((1, size, size, 1), np.float32)
+            )
+        )
+        params = ocp.StandardCheckpointer().restore(
+            os.path.abspath(path), template
+        )
+        if verbose:
+            print(f"seg_encoder feature source: {path}")
+        layers = ood.feature_layers or ("down2", "down3")
+        return SegEncoderFeatureSource(params, layers)
+    if name == "denoiser":
+        if denoiser is not None:
+            gd, params = denoiser
+        else:
+            from localdiffusion_tpu.factory import build_gd, load_params
+
+            gd = build_gd(cfg)
+            params = load_params(cfg, gd, params_npz=ood.feature_npz,
+                                 verbose=verbose, strict=bool(ood.feature_npz))
+        layers = ood.feature_layers or ("down2_block2", "down3_block2")
+        return DenoiserFeatureSource(gd, params, t=ood.feature_t,
+                                     layers=layers)
+    raise ValueError(f"unknown feature_source {name!r}")

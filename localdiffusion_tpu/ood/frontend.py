@@ -56,8 +56,19 @@ class OODFrontend:
     # ------------------------------------------------------------------
     def _preprocess_patchcore(self, lr: jnp.ndarray) -> jnp.ndarray:
         """Reference test.py:199-242: channel repeat, per-dataset
-        de/re-normalization, resize to detector input, ImageNet-normalize."""
+        de/re-normalization, resize to detector input, ImageNet-normalize.
+
+        Feature sources with preprocess='raw' (seg encoder, denoiser —
+        ood/features.py) instead receive the conditioning image exactly as
+        the diffusion pipeline normalizes it: that is the distribution the
+        source network was trained on."""
         cfg = self.config
+        if (
+            self.patchcore is not None
+            and getattr(self.patchcore.source, "preprocess", "imagenet")
+            == "raw"
+        ):
+            return jnp.asarray(lr, jnp.float32)
         name = cfg.data.name
         x = jnp.asarray(lr, jnp.float32)
         if x.shape[-1] == 1:

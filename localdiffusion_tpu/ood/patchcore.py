@@ -21,10 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from localdiffusion_tpu.config import OODConfig
-from localdiffusion_tpu.ood.wide_resnet import (
-    WideResNet50Features,
-    convert_torch_state_dict,
-)
+from localdiffusion_tpu.ood.wide_resnet import convert_torch_state_dict
 from localdiffusion_tpu.ops.resize import gaussian_blur, resize_bilinear
 
 
@@ -176,7 +173,12 @@ def subsample_embedding(
 # ---------------------------------------------------------------------------
 
 class PatchCore:
-    """PatchCore bound to a flax backbone + memory bank.
+    """PatchCore bound to a feature source + memory bank.
+
+    The feature extractor is pluggable (ood/features.py): the reference
+    hard-wires ImageNet-pretrained WRN50-2 (models.py:62-72) — unavailable
+    here — so in-env-trainable sources (trained seg-UNet encoder, trained
+    denoiser activations) can substitute.  Default remains the WRN.
 
     train mode: `embed(x)` streams embeddings for the memory-bank builder
     (reference anomaly_model_train.py:353-376).
@@ -190,20 +192,27 @@ class PatchCore:
         backbone_params=None,
         memory_bank: Optional[np.ndarray] = None,
         rng=None,
+        source=None,
     ):
         self.cfg = cfg
-        self.layers = tuple(cfg.layers)
+        if source is None:
+            from localdiffusion_tpu.ood.features import WRNFeatureSource
+
+            if backbone_params is None and cfg.backbone_weights_path:
+                backbone_params = load_backbone_weights(
+                    cfg.backbone_weights_path
+                )
+            source = WRNFeatureSource(
+                cfg.layers, params=backbone_params, rng=rng,
+                input_size=cfg.input_size,
+            )
+        self.source = source
+        self.layers = tuple(source.layers)
         self.input_size = (cfg.input_size, cfg.input_size)
         self.num_neighbors = cfg.num_neighbors
-        self.backbone = WideResNet50Features(layers=self.layers)
-        if backbone_params is None:
-            if cfg.backbone_weights_path:
-                backbone_params = load_backbone_weights(cfg.backbone_weights_path)
-            else:
-                rng = rng if rng is not None else jax.random.PRNGKey(0)
-                dummy = jnp.zeros((1, cfg.input_size, cfg.input_size, 3))
-                backbone_params = self.backbone.init(rng, dummy)
-        self.backbone_params = backbone_params
+        # WRN compatibility surface (checkpoint converters)
+        self.backbone = getattr(source, "backbone", None)
+        self.backbone_params = getattr(source, "params", None)
         self.memory_bank = (
             jnp.asarray(memory_bank) if memory_bank is not None else None
         )
@@ -212,7 +221,7 @@ class PatchCore:
 
     # -- embedding ----------------------------------------------------
     def _embed(self, x: jnp.ndarray) -> jnp.ndarray:
-        feats = self.backbone.apply(self.backbone_params, x)
+        feats = self.source.apply(x)
         feats = {k: avg_pool_3x3(v) for k, v in feats.items()}
         return generate_embedding(feats, self.layers)
 

@@ -47,6 +47,19 @@ def main():
                          "normal image and stabilizes refit ladders)")
     ap.add_argument("--no-ladder", action="store_true",
                     help="skip self-calibrating the threshold ladder")
+    ap.add_argument("--feature-source", default=None,
+                    choices=["wrn", "seg_encoder", "denoiser"],
+                    help="override cfg.ood.feature_source (ood/features.py)")
+    ap.add_argument("--feature-npz", default=None,
+                    help="denoiser params snapshot for --feature-source "
+                         "denoiser (e.g. results/mri_synth256_ema.npz)")
+    ap.add_argument("--feature-t", type=int, default=None,
+                    help="denoiser tap timestep")
+    ap.add_argument("--feature-layers", default=None,
+                    help="comma-separated tap names (per-source default "
+                         "when unset)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="coreset/backbone seed (refit robustness sweeps)")
     args = ap.parse_args()
 
     from scripts.train import load_config
@@ -113,7 +126,24 @@ def main():
     from localdiffusion_tpu.ood.frontend import OODFrontend
     from localdiffusion_tpu.ood.thresholds import fit_ladder, save_ladder
 
-    pc = PatchCore(cfg.ood, rng=jax.random.PRNGKey(0))
+    ood_over = {}
+    if args.feature_source:
+        ood_over["feature_source"] = args.feature_source
+    if args.feature_npz:
+        ood_over["feature_npz"] = args.feature_npz
+    if args.feature_t is not None:
+        ood_over["feature_t"] = args.feature_t
+    if args.feature_layers:
+        ood_over["feature_layers"] = tuple(args.feature_layers.split(","))
+    if ood_over:
+        cfg = cfg.replace(ood=dataclasses.replace(cfg.ood, **ood_over))
+
+    source = None
+    if cfg.ood.feature_source != "wrn":
+        from localdiffusion_tpu.ood.features import make_feature_source
+
+        source = make_feature_source(cfg)
+    pc = PatchCore(cfg.ood, rng=jax.random.PRNGKey(args.seed), source=source)
     # the bank MUST share preprocessing with the inference frontend — use
     # the frontend's path (per-dataset denorm etc., reference
     # test.py:199-242 / anomaly_model_train.py:358-365)
@@ -125,7 +155,8 @@ def main():
     for i in range(0, len(lr), args.batch):
         x = fe._preprocess_patchcore(jnp.asarray(lr[i : i + args.batch]))
         batches.append(np.asarray(x))
-    bank = pc.build_memory_bank(batches, sampling_ratio=args.ratio)
+    bank = pc.build_memory_bank(batches, sampling_ratio=args.ratio,
+                                key=jax.random.PRNGKey(args.seed))
     out = args.out or f"memory_bank_{cfg.data.name}.npy"
     np.save(out, bank)
     print(f"saved {out}: {bank.shape}")

@@ -1,0 +1,111 @@
+"""Pluggable PatchCore feature sources (ood/features.py): tap extraction,
+raw-preprocess routing, and PatchCore integration at toy sizes."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from localdiffusion_tpu.config import (
+    Config,
+    DataConfig,
+    DiffusionConfig,
+    ModelConfig,
+    OODConfig,
+)
+from localdiffusion_tpu.diffusion.gaussian import GaussianDiffusion
+from localdiffusion_tpu.ood.features import (
+    DenoiserFeatureSource,
+    SegEncoderFeatureSource,
+)
+from localdiffusion_tpu.ood.patchcore import PatchCore
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def tiny_gd():
+    mcfg = ModelConfig(dim=8, dim_mults=(1, 2), full_attn=(False, True),
+                       channels=1)
+    dcfg = DiffusionConfig(image_size=32, timesteps=20)
+    gd = GaussianDiffusion(mcfg, dcfg)
+    params = gd.init_params(KEY)
+    return gd, params
+
+
+def test_denoiser_source_taps(tiny_gd):
+    gd, params = tiny_gd
+    src = DenoiserFeatureSource(gd, params, t=2,
+                                layers=("down0_block2", "down1_block2"))
+    x = jax.random.normal(KEY, (2, 32, 32, 1))
+    feats = src.apply(x)
+    assert set(feats) == {"down0_block2", "down1_block2"}
+    assert feats["down0_block2"].shape == (2, 32, 32, 8)
+    assert feats["down1_block2"].shape == (2, 16, 16, 8)
+    assert feats["down0_block2"].dtype == jnp.float32
+    assert src.strides["down0_block2"] == 1
+    assert src.strides["down1_block2"] == 2
+
+
+def test_seg_encoder_source_taps():
+    from localdiffusion_tpu.models.seg_unet import SegUNet
+
+    model = SegUNet()
+    x = np.zeros((1, 32, 32, 1), np.float32)
+    params = model.init(KEY, x)
+    src = SegEncoderFeatureSource(params, layers=("inc", "down1"))
+    feats = src.apply(jnp.asarray(x))
+    assert feats["inc"].shape == (1, 32, 32, 64)
+    assert feats["down1"].shape == (1, 16, 16, 128)
+
+
+def test_patchcore_with_denoiser_source_end_to_end(tiny_gd):
+    gd, params = tiny_gd
+    src = DenoiserFeatureSource(gd, params, t=2,
+                                layers=("down0_block2", "down1_block2"))
+    cfg = OODConfig(input_size=32, num_neighbors=3, coreset_ratio=0.25,
+                    feature_source="denoiser")
+    pc = PatchCore(cfg, source=src)
+    normal = np.random.default_rng(0).normal(
+        size=(4, 32, 32, 1)
+    ).astype(np.float32)
+    pc.build_memory_bank([normal])
+    out = pc(jnp.asarray(normal[:2]))
+    assert out["anomaly_map"].shape == (2, 32, 32, 1)
+    assert out["pred_score"].shape == (2,)
+    assert np.isfinite(np.asarray(out["anomaly_map"])).all()
+
+
+def test_frontend_raw_preprocess_passthrough(tiny_gd):
+    from localdiffusion_tpu.ood.frontend import OODFrontend
+
+    gd, params = tiny_gd
+    src = DenoiserFeatureSource(gd, params, t=2,
+                                layers=("down0_block2",))
+    ood = OODConfig(input_size=32, feature_source="denoiser",
+                    detector="patchcore")
+    cfg = Config(
+        model=gd.model_cfg,
+        diffusion=dataclasses.replace(gd.diff_cfg),
+        data=DataConfig(name="synthetic_brain"),
+        ood=ood,
+    )
+    pc = PatchCore(ood, source=src)
+    fe = OODFrontend(cfg, patchcore=pc)
+    lr = np.random.default_rng(1).normal(size=(2, 32, 32, 1)).astype(
+        np.float32
+    )
+    got = np.asarray(fe._preprocess_patchcore(jnp.asarray(lr)))
+    np.testing.assert_array_equal(got, lr)  # no imagenet path for raw
+
+
+def test_feature_source_config_validation():
+    with pytest.raises(ValueError):
+        OODConfig(feature_source="nope")
+    # auto mask-dilate uses source-appropriate strides
+    cfg = OODConfig(feature_source="denoiser", mask_dilate=-1,
+                    input_size=256,
+                    feature_layers=("down2_block2", "down3_block2"))
+    assert cfg.resolved_mask_dilate(256) == 8  # stride 8 tap, scale 1
