@@ -62,10 +62,12 @@ class InferenceServer:
         batch_size: int = 8,
         max_wait_ms: float = 50.0,
         base_seed: int = 0,
+        merge_mixed: bool = True,
     ):
         self.pipe = pipeline
         self.batch_size = int(batch_size)
         self.max_wait = max_wait_ms / 1e3
+        self.merge_mixed = bool(merge_mixed)
         self.base_key = jax.random.PRNGKey(base_seed)
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
@@ -208,7 +210,9 @@ class InferenceServer:
         # Cost: 2·B UNet calls/step vs 3·B for two padded dispatches
         # (B plain + 2B branched) — strictly cheaper AND fewer padded
         # slots.  Deterministic: routing depends only on batch composition.
-        if plain and branched:
+        # merge_mixed=False keeps the two-dispatch route (the measurement
+        # knob for this policy — scripts/bench_serve.py --split-mixed).
+        if plain and branched and self.merge_mixed:
             groups = [(batch, True, "merged_dispatches")]
         else:
             groups = [(plain, False, "plain_dispatches"),

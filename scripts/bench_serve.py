@@ -47,6 +47,14 @@ def main():
                          "width (0 = no mesh, single device)")
     ap.add_argument("--mesh-patch", type=int, default=1,
                     help="'patch' width for the branched IND/OOD pair")
+    ap.add_argument("--plain-frac", type=float, default=0.0,
+                    help="fraction of requests submitted with a uniform-ones "
+                         "mask (plain-chain rows) — creates MIXED batches to "
+                         "exercise the merged-vs-split dispatch policy")
+    ap.add_argument("--split-mixed", action="store_true",
+                    help="serve mixed batches as two dispatches (plain + "
+                         "branched) instead of one merged branched dispatch "
+                         "— the policy A/B for serving.py")
     args = ap.parse_args()
 
     from localdiffusion_tpu.utils.logging import (
@@ -93,7 +101,9 @@ def main():
     if args.clients > args.requests:
         args.clients = args.requests
     srv = InferenceServer(pipe, batch_size=args.batch_size,
-                          max_wait_ms=args.max_wait_ms)
+                          max_wait_ms=args.max_wait_ms,
+                          merge_mixed=not args.split_mixed)
+    ones_mask = np.ones((size, size, 1), np.float32)
     try:
         # warmup: the server's own warmup compiles BOTH the plain and the
         # branched chain (a single request would compile only the chain it
@@ -109,9 +119,16 @@ def main():
 
         def client(cid):
             for i in range(n_per_client):
-                img = images[(cid * n_per_client + i) % len(images)]
+                k = cid * n_per_client + i
+                img = images[k % len(images)]
+                # deterministically mark a --plain-frac share of requests as
+                # known-normal (uniform-ones mask → plain chain row)
+                mask = ones_mask if (
+                    args.plain_frac > 0
+                    and (k % 100) < args.plain_frac * 100
+                ) else None
                 t0 = time.time()
-                srv.submit(img).result()
+                srv.submit(img, mask=mask).result()
                 with lat_lock:
                     latencies.append(time.time() - t0)
 
@@ -138,6 +155,9 @@ def main():
         "batch_size": args.batch_size,
         "mesh": (f"data={args.mesh_data},patch={args.mesh_patch}"
                  if mesh is not None else "none"),
+        "detector": cfg.ood.detector,
+        "plain_frac": args.plain_frac,
+        "mixed_policy": "split" if args.split_mixed else "merged",
         "p50_s": round(float(np.percentile(lat, 50)), 4),
         "p95_s": round(float(np.percentile(lat, 95)), 4),
         "p99_s": round(float(np.percentile(lat, 99)), 4),
