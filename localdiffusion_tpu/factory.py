@@ -81,24 +81,16 @@ def build_frontend(cfg: Config, calibration_images=None, verbose: bool = True
         # uniform-ones masks → branching bypass (reference ddpm.py:1110-1117)
         return OODFrontend(cfg), cfg
     if det == "seg":
-        import orbax.checkpoint as ocp
-
         from localdiffusion_tpu.models import SegUNet
+        from localdiffusion_tpu.ood.features import load_seg_params
 
         seg_model = SegUNet()
-        seg_path = os.path.abspath("results/seg/best_dice")
-        if os.path.exists(seg_path):
-            ckptr = ocp.StandardCheckpointer()
-            size = cfg.diffusion.image_size
-            template = jax.device_get(
-                seg_model.init(
-                    jax.random.PRNGKey(0),
-                    np.zeros((1, size, size, 1), np.float32),
-                )
-            )
-            seg_params = ckptr.restore(seg_path, template)
+        seg_path, seg_params = load_seg_params(
+            cfg.ood.seg_model_path, cfg.diffusion.image_size
+        )
+        if seg_params is not None:
             if verbose:
-                print("loaded seg detector checkpoint")
+                print(f"loaded seg detector checkpoint {seg_path}")
             return (
                 OODFrontend(cfg, seg_apply=lambda x: seg_model.apply(seg_params, x)),
                 cfg,

@@ -133,6 +133,44 @@ class DenoiserFeatureSource:
                 for k in self.layers}
 
 
+def load_seg_params(path: Optional[str], size: int):
+    """Resolve + load trained SegUNet params for the seg detector / the
+    seg_encoder feature source.
+
+    Accepts an Orbax checkpoint directory OR a slim .npz snapshot
+    (utils/params_io.py).  Default resolution order: the training default
+    `results/seg/best_dice` (a fresh local train wins), then the shipped
+    slim snapshot `results/seg256_params.npz`.
+    Returns (resolved_path, params-or-None)."""
+    import os
+
+    from localdiffusion_tpu.models.seg_unet import SegUNet
+
+    if path is None:
+        for cand in ("results/seg/best_dice", "results/seg256_params.npz"):
+            if os.path.exists(cand):
+                path = cand
+                break
+        else:
+            return "results/seg256_params.npz", None
+    if not os.path.exists(path):
+        return path, None
+    template = jax.device_get(
+        SegUNet().init(
+            jax.random.PRNGKey(0), np.zeros((1, size, size, 1), np.float32)
+        )
+    )
+    if path.endswith(".npz"):
+        from localdiffusion_tpu.utils.params_io import load_params_npz
+
+        return path, load_params_npz(path, template)
+    import orbax.checkpoint as ocp
+
+    return path, ocp.StandardCheckpointer().restore(
+        os.path.abspath(path), template
+    )
+
+
 def make_feature_source(cfg, denoiser=None, rng=None, verbose: bool = True):
     """cfg is the full Config; reads cfg.ood.feature_source.
 
@@ -152,20 +190,14 @@ def make_feature_source(cfg, denoiser=None, rng=None, verbose: bool = True):
         return WRNFeatureSource(ood.layers, params=params, rng=rng,
                                 input_size=ood.input_size)
     if name == "seg_encoder":
-        import orbax.checkpoint as ocp
-
-        from localdiffusion_tpu.models.seg_unet import SegUNet
-
-        path = ood.seg_model_path or os.path.abspath("results/seg/best_dice")
-        size = cfg.diffusion.image_size
-        template = jax.device_get(
-            SegUNet().init(
-                jax.random.PRNGKey(0), np.zeros((1, size, size, 1), np.float32)
+        path, params = load_seg_params(
+            ood.seg_model_path, cfg.diffusion.image_size
+        )
+        if params is None:
+            raise FileNotFoundError(
+                f"seg_encoder feature source needs a trained SegUNet at "
+                f"{path} (scripts/train_seg.py)"
             )
-        )
-        params = ocp.StandardCheckpointer().restore(
-            os.path.abspath(path), template
-        )
         if verbose:
             print(f"seg_encoder feature source: {path}")
         layers = ood.feature_layers or ("down2", "down3")

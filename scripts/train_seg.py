@@ -34,13 +34,32 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--out", default="results/seg/best_dice")
+    ap.add_argument("--raw", action="store_true",
+                    help="train on raw-intensity t1 instead of the "
+                         "pipeline-normalized conditioning distribution")
     args = ap.parse_args()
 
     from localdiffusion_tpu.data import ArrayLoader, synthetic_brain_pair
     from localdiffusion_tpu.models import SegUNet, bce_dice_loss, dice_loss
 
-    t1, flair, seg = synthetic_brain_pair(64, size=args.size, tumor=True, seed=0)
-    t1v, flairv, segv = synthetic_brain_pair(16, size=args.size, tumor=True, seed=1)
+    if args.raw:
+        t1, flair, seg = synthetic_brain_pair(
+            64, size=args.size, tumor=True, seed=0)
+        t1v, flairv, segv = synthetic_brain_pair(
+            16, size=args.size, tumor=True, seed=1)
+    else:
+        # the inference pipeline feeds the seg detector (and the
+        # seg_encoder PatchCore feature source) the NORMALIZED conditioning
+        # image (ood/frontend.py:125-127, features.py preprocess='raw') —
+        # train on that distribution
+        from localdiffusion_tpu.data.synthetic import (
+            synthetic_brain_translation,
+        )
+
+        _, t1, seg = synthetic_brain_translation(
+            64, args.size, tumor=True, seed=0)
+        _, t1v, segv = synthetic_brain_translation(
+            16, args.size, tumor=True, seed=1)
     seg = (seg > 0).astype(np.float32)
     segv = (segv > 0).astype(np.float32)
 

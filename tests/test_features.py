@@ -101,6 +101,31 @@ def test_frontend_raw_preprocess_passthrough(tiny_gd):
     np.testing.assert_array_equal(got, lr)  # no imagenet path for raw
 
 
+def test_load_seg_params_npz_roundtrip(tmp_path):
+    """load_seg_params accepts slim npz snapshots (the shipped
+    results/seg256_params.npz format) as well as Orbax dirs."""
+    from localdiffusion_tpu.models.seg_unet import SegUNet
+    from localdiffusion_tpu.ood.features import load_seg_params
+    from localdiffusion_tpu.utils.params_io import save_params_npz
+
+    model = SegUNet()
+    params = model.init(KEY, np.zeros((1, 32, 32, 1), np.float32))
+    p = str(tmp_path / "seg.npz")
+    save_params_npz(p, params)
+    path, loaded = load_seg_params(p, 32)
+    assert path == p and loaded is not None
+    x = np.random.default_rng(0).normal(size=(1, 32, 32, 1)).astype(
+        np.float32
+    )
+    a = model.apply(params, x)
+    b = model.apply(loaded, x)
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=0.05, rtol=0.05
+    )
+    path2, none = load_seg_params(str(tmp_path / "missing"), 32)
+    assert none is None
+
+
 def test_feature_source_config_validation():
     with pytest.raises(ValueError):
         OODConfig(feature_source="nope")
