@@ -173,12 +173,21 @@ def _algorithmic_flops(fn_factory, args) -> float | None:
     B._FUSED_LINATT = B._FUSED_BLOCK_N = False
     U._FUSED_LINATT = U._FUSED_BLOCK = False
     try:
-        lowered = jax.jit(fn_factory()).lower(*args)
-        ca = lowered.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0] if ca else {}
-        return float(ca.get("flops", 0.0)) or None
-    except Exception:
+        # client-side HLO cost analysis; remote-plugin backends (axon) may
+        # not implement it — fall back to lowering for the CPU client (the
+        # algorithmic FLOP count is backend-independent)
+        last = None
+        for jit_kwargs in ({}, {"backend": "cpu"}):
+            try:
+                lowered = jax.jit(fn_factory(), **jit_kwargs).lower(*args)
+                ca = lowered.cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0] if ca else {}
+                return float(ca.get("flops", 0.0)) or None
+            except Exception as e:  # noqa: BLE001 — diagnostic fallback
+                last = e
+        print(f"[bench] analytic FLOP count failed: "
+              f"{type(last).__name__}: {last}", file=sys.stderr)
         return None
     finally:
         for k, v in saved_env.items():

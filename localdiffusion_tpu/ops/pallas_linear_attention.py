@@ -10,14 +10,22 @@ a ~100 MB information need).
 This kernel computes the identical math (reference ddpm.py:214-251) in two
 streaming passes over x, never materializing q/k/v in HBM:
 
-  pass 1 (kv):  per row-tile — RMSNorm → k,v projections → online-softmax
+  pass 1 (kv):  per row-tile — RMSNorm → k projection → online-softmax
                 accumulation of the per-(head,d) k statistics (running max
-                m, exp-sum l) and the transposed context Σ softmax(k)ᵀ·v,
-                all VMEM-resident.
-  (tiny XLA):   ctxᵀ / l, cross-head mask, cast bf16.   [B, 128, 128]
+                m, exp-sum l) and the per-phase Gram Gₚ = Σ xnᵀ·exp(k)
+                ([nph·128, 128]), all VMEM-resident.  The v PROJECTION IS
+                NEVER COMPUTED: v = xn·Wv is linear, so
+                ctxᵀ = Σₚ Wvᵀ·(Gₚ rows of phase p) — Wv is applied ONCE
+                per call in XLA instead of once per token (round-4 lean
+                rewrite: −4T of the 31T MXU row units).
+  (tiny XLA):   ctxᵀ = Σₚ Wvᵀ·Aₚ, /l, cross-head mask, cast bf16, then
+                W̃ₚ = ctxnᵀ-contracted output projection
+                (W̃ₚ[d, c] = Σₑ ctxn[e, d]·Wout_emb[p][e, c]) — the q·ctx
+                and out-projection matmuls fused into ONE data-dependent
+                weight per phase (−4T more).
   pass 2 (q):   per row-tile — RMSNorm → q projection → q softmax →
-                out = q·ctx → output projection → out RMSNorm → (+x)
-                (optional fused residual), write the tile.
+                out = qs·W̃ₚ → out RMSNorm → (+x) (optional fused
+                residual), write the tile.
 
 Token folding: the kernel consumes [B, H, W', 128] rows whose 128 lanes
 hold `nph` independent tokens of C = 128/nph channels each (C ∈ {32, 64,
@@ -132,14 +140,12 @@ def _rms_in(x_ref, mnorm_ref, gt_ref):
     return xf, xn.astype(jnp.bfloat16)
 
 
-def _kv_kernel(x_ref, wk_ref, wv_ref, mnorm_ref, gt_ref,
-               l_ref, ctxt_ref, m_scr, *, nph: int):
+def _kv_kernel(x_ref, wk_ref, mnorm_ref, gt_ref,
+               l_ref, gram_ref, m_scr, *, nph: int):
     t = pl.program_id(1)
     _, xb = _rms_in(x_ref, mnorm_ref, gt_ref)
     k = jax.lax.dot(xb, wk_ref[...], preferred_element_type=jnp.float32)
     k = k.astype(jnp.bfloat16).astype(jnp.float32)  # match einsum rounding
-    v = jax.lax.dot(xb, wv_ref[...], preferred_element_type=jnp.float32)
-    v = v.astype(jnp.bfloat16)  # [T, nph·128]
 
     # tile max per (head, d) lane, folded over the nph token-group blocks
     m_tile = jnp.full((1, LANES), _NEG, jnp.float32)
@@ -158,41 +164,41 @@ def _kv_kernel(x_ref, wk_ref, wv_ref, mnorm_ref, gt_ref,
     m_new = m_scr[0:1]  # [1, 128]
 
     l_tile = jnp.zeros((1, LANES), jnp.float32)
-    ctx_tile = jnp.zeros((LANES, LANES), jnp.float32)  # ctxᵀ[e, d]
+    g_rows = []
     for p in range(nph):
         kp = k[:, p * LANES : (p + 1) * LANES]
-        vp = v[:, p * LANES : (p + 1) * LANES]
         e = jnp.exp(kp - m_new)  # [T, 128]
         l_tile = l_tile + jnp.sum(e, axis=0, keepdims=True)
-        # ctxᵀ[e, d] += Σ_t v[t, e]·expk[t, d]   (contract rows)
-        ctx_tile = ctx_tile + jax.lax.dot_general(
-            vp, e.astype(jnp.bfloat16),
+        # Gₚ[c, d] += Σ_t xn[t, c]·expk[t, p, d]  (contract rows) — the v
+        # projection folds out of the kernel: ctxᵀ = Σₚ Wvᵀ·Gₚ[pc:(p+1)c]
+        g_rows.append(jax.lax.dot_general(
+            xb, e.astype(jnp.bfloat16),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ))
+    g_tile = g_rows[0] if nph == 1 else jnp.concatenate(g_rows, axis=0)
 
     @pl.when(t == 0)
     def _():
         l_ref[0] = l_tile
-        ctxt_ref[0] = ctx_tile
+        gram_ref[0] = g_tile
 
     @pl.when(t > 0)
     def _():
         fct = jnp.exp(m_scr[1:2] - m_new)  # [1, 128] old max − new max
         l_ref[0] = l_ref[0] * fct + l_tile
-        ctxt_ref[0] = ctxt_ref[0] * fct + ctx_tile  # per-d = per-lane ✓
+        gram_ref[0] = gram_ref[0] * fct + g_tile  # per-d = per-lane ✓
 
     m_scr[1:2] = m_new  # stash current max for the next tile's rescale
 
 
-def _q_kernel(x_ref, wq_ref, wout_ref, mnorm_ref, mhead_ref, gt_ref,
-              gout_ref, bout_ref, ctxn_ref, out_ref,
+def _q_kernel(x_ref, wq_ref, mnorm_ref, mhead_ref, gt_ref,
+              gout_ref, bout_ref, wtil_ref, out_ref,
               *, scale: float, add_residual: bool, nph: int):
     xf, xb = _rms_in(x_ref, mnorm_ref, gt_ref)
     q = jax.lax.dot(xb, wq_ref[...], preferred_element_type=jnp.float32)
     q = q.astype(jnp.bfloat16).astype(jnp.float32)  # [T, nph·128]
     mhead = mhead_ref[...]
-    ctxn = ctxn_ref[0]  # ctxᵀ[e, d] bf16
 
     out_acc = jnp.zeros((x_ref.shape[1], LANES), jnp.float32)
     for p in range(nph):
@@ -202,14 +208,11 @@ def _q_kernel(x_ref, wq_ref, wout_ref, mnorm_ref, mhead_ref, gt_ref,
         e = jnp.exp(qp - rmax)
         den = jax.lax.dot(e, mhead, preferred_element_type=jnp.float32)
         qs = (e / den).astype(jnp.bfloat16) * jnp.bfloat16(scale)
-        # out[t, e] = Σ_d qs[t, d]·ctxᵀ[e, d]   (contract lanes with lanes)
-        op = jax.lax.dot_general(
-            qs, ctxn,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16)
+        # out[t, c] = Σ_d qs[t, d]·W̃ₚ[d, c] — q·ctx and the output
+        # projection fused into one data-dependent weight (built per call
+        # in XLA: W̃ₚ = Σ_e ctxn[e, d]·Wout_emb[p][e, c])
         out_acc = out_acc + jax.lax.dot(
-            op, wout_ref[p], preferred_element_type=jnp.float32
+            qs, wtil_ref[0, p], preferred_element_type=jnp.float32
         )
     out_acc = out_acc + bout_ref[...]
 
@@ -265,7 +268,6 @@ def _forward(x, g_in, w_qkv, w_out, b_out, g_out,
 
     wq = _embed_bd(w_qkv[:, 0 * hidden : 1 * hidden], nph).astype(jnp.bfloat16)
     wk = _embed_bd(w_qkv[:, 1 * hidden : 2 * hidden], nph).astype(jnp.bfloat16)
-    wv = _embed_bd(w_qkv[:, 2 * hidden : 3 * hidden], nph).astype(jnp.bfloat16)
     # wout_emb[p]: [hidden, 128] with w_out placed at columns p·c..(p+1)·c
     wout_emb = jnp.zeros((nph, hidden, LANES), jnp.bfloat16)
     for p in range(nph):
@@ -282,31 +284,41 @@ def _forward(x, g_in, w_qkv, w_out, b_out, g_out,
     row_spec = pl.BlockSpec((1, T, cc), lambda i, t: (i, t, 0))
     full = lambda shape: pl.BlockSpec(shape, lambda i, t: tuple(0 for _ in shape))
 
-    l, ctxt = pl.pallas_call(
+    l, gram = pl.pallas_call(
         functools.partial(_kv_kernel, nph=nph),
         grid=(b, nt),
         in_specs=[
             row_spec,
-            full((cc, nph * hidden)),
             full((cc, nph * hidden)),
             full((LANES, LANES)),
             full((1, LANES)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, LANES), lambda i, t: (i, 0, 0)),
-            pl.BlockSpec((1, LANES, LANES), lambda i, t: (i, 0, 0)),
+            pl.BlockSpec((1, nph * cc, LANES), lambda i, t: (i, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, 1, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((b, LANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, nph * cc, LANES), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((8, LANES), jnp.float32)],
         interpret=interpret,
-    )(xr, wk, wv, mnorm, g_t)
+    )(xr, wk, mnorm, g_t)
 
-    # softmax(k) denominator + cross-head mask (ctxᵀ[e, d]: divide per d
-    # lane, zero (e, d) pairs from different heads), cast for the q matmul
+    # apply the deferred v projection (ctxᵀ = Σₚ Wvᵀ·Gₚ[pc:(p+1)c]), the
+    # softmax(k) denominator and the cross-head mask (ctxᵀ[e, d]: divide
+    # per d lane, zero (e, d) pairs from different heads), then contract
+    # the output projection in: W̃ₚ[d, c] = Σ_e ctxn[e, d]·Wout_emb[p][e, c]
+    wv = w_qkv[:, 2 * hidden : 3 * hidden].astype(jnp.float32)  # [c, hidden]
+    gblk = gram.reshape(b, nph, cc, LANES)
+    ctxt = sum(
+        jnp.einsum("ce,bcd->bed", wv, gblk[:, p, p * c : (p + 1) * c, :])
+        for p in range(nph)
+    )
     ctxn = (ctxt / l).astype(jnp.bfloat16) * mhead.astype(jnp.bfloat16)
+    wtil = jnp.einsum(
+        "bed,pec->bpdc", ctxn, wout_emb, preferred_element_type=jnp.float32
+    ).astype(jnp.bfloat16)
 
     out = pl.pallas_call(
         functools.partial(
@@ -316,18 +328,17 @@ def _forward(x, g_in, w_qkv, w_out, b_out, g_out,
         in_specs=[
             row_spec,
             full((cc, nph * hidden)),
-            full((nph, hidden, LANES)),
             full((LANES, LANES)),
             full((LANES, LANES)),
             full((1, LANES)),
             full((1, LANES)),
             full((1, LANES)),
-            pl.BlockSpec((1, LANES, LANES), lambda i, t: (i, 0, 0)),
+            pl.BlockSpec((1, nph, LANES, LANES), lambda i, t: (i, 0, 0, 0)),
         ],
         out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((b, hw, cc), x.dtype),
         interpret=interpret,
-    )(xr, wq, wout_emb, mnorm, mhead, g_t, gout_t, bout_t, ctxn)
+    )(xr, wq, mnorm, mhead, g_t, gout_t, bout_t, wtil)
     return out.reshape(b, h, w, cc)
 
 
