@@ -161,17 +161,28 @@ def _algorithmic_flops(fn_factory, args) -> float | None:
 
     import localdiffusion_tpu.models.blocks as B
     import localdiffusion_tpu.models.unet_s2d as U
+    import localdiffusion_tpu.ops.attention as A
 
     saved_env = {
         k: os.environ.get(k)
-        for k in ("LOCALDIFF_FUSED_LINATT", "LOCALDIFF_FUSED_BLOCK")
+        for k in ("LOCALDIFF_FUSED_LINATT", "LOCALDIFF_FUSED_BLOCK",
+                  "LOCALDIFF_FUSED_GN")
     }
     saved_probes = (B._FUSED_LINATT, B._FUSED_BLOCK_N, U._FUSED_LINATT,
                     U._FUSED_BLOCK)
+    saved_attn = (A._PALLAS_IMPL, A._TRIED_PALLAS)
     os.environ["LOCALDIFF_FUSED_LINATT"] = "0"
     os.environ["LOCALDIFF_FUSED_BLOCK"] = "0"
+    # the GN kernel dispatches per-call on default_backend()=="tpu", which
+    # stays true when this process retargets a CPU client below — gate it
+    # off explicitly (read at trace time; jit re-traces every lowering)
+    os.environ["LOCALDIFF_FUSED_GN"] = "0"
     B._FUSED_LINATT = B._FUSED_BLOCK_N = False
     U._FUSED_LINATT = U._FUSED_BLOCK = False
+    # the flash-attention dispatch keys off the DEFAULT backend at trace
+    # time — force the XLA einsum path so the CPU-client lowering below
+    # carries no pallas_call (cost analysis counts those as zero anyway)
+    A._PALLAS_IMPL, A._TRIED_PALLAS = None, True
     try:
         # client-side HLO cost analysis; remote-plugin backends (axon) may
         # not implement it — fall back to lowering for the CPU client (the
@@ -197,6 +208,7 @@ def _algorithmic_flops(fn_factory, args) -> float | None:
                 os.environ[k] = v
         B._FUSED_LINATT, B._FUSED_BLOCK_N = saved_probes[0], saved_probes[1]
         U._FUSED_LINATT, U._FUSED_BLOCK = saved_probes[2], saved_probes[3]
+        A._PALLAS_IMPL, A._TRIED_PALLAS = saved_attn
 
 
 def measure_tpu(batch: int = 64, timesteps: int = 50, repeats: int = 10,

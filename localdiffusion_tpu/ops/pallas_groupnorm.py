@@ -13,6 +13,7 @@ elementwise + small reductions).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -205,7 +206,12 @@ def groupnorm_film_silu(
     """
     b, h, w, c = x.shape
     block_bytes = h * w * c * 4
-    on_tpu = jax.default_backend() == "tpu"
+    # LOCALDIFF_FUSED_GN=0 forces the XLA path even on the TPU backend —
+    # bench.py's analytic-FLOP lowering retargets the DEFAULT-tpu process
+    # at a CPU client, where any pallas_call fails to lower (read at trace
+    # time; every jit re-traces, so no caching here).
+    gn_enabled = os.environ.get("LOCALDIFF_FUSED_GN", "1") != "0"
+    on_tpu = gn_enabled and jax.default_backend() == "tpu"
     if interpret or (on_tpu and block_bytes <= _MAX_VMEM_BLOCK_BYTES):
         return _gn_film_silu(
             x, gamma, beta, scale, shift, groups, eps, bool(interpret)
