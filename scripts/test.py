@@ -45,6 +45,18 @@ def main():
     ap.add_argument("--dtype", choices=["float32", "bfloat16"], default=None,
                     help="compute dtype override (bf16 chains run 2-5x "
                          "faster; output parity measured — docs/PERFORMANCE)")
+    ap.add_argument("--feature-source", default=None,
+                    choices=["wrn", "seg_encoder", "denoiser"],
+                    help="override cfg.ood.feature_source (ood/features.py)")
+    ap.add_argument("--feature-npz", default=None,
+                    help="denoiser params snapshot for --feature-source "
+                         "denoiser (defaults to --params-npz when that is set)")
+    ap.add_argument("--feature-t", type=int, default=None,
+                    help="denoiser tap timestep (cfg.ood.feature_t)")
+    ap.add_argument("--memory-bank", default=None,
+                    help="override cfg.ood.memory_bank_path (a bank built "
+                         "with the SAME feature source — "
+                         "scripts/anomaly_model_train.py)")
     args = ap.parse_args()
 
     from scripts.train import load_config
@@ -62,6 +74,19 @@ def main():
         cfg = cfg.replace(
             ood=dataclasses.replace(cfg.ood, mask_dilate=args.mask_dilate)
         )
+    ood_over = {}
+    if args.feature_source:
+        ood_over["feature_source"] = args.feature_source
+        if args.feature_source == "denoiser":
+            ood_over["feature_npz"] = args.feature_npz or args.params_npz
+    if args.feature_t is not None:
+        ood_over["feature_t"] = args.feature_t
+    if args.memory_bank is not None:
+        # a bank override invalidates any configured ladder; build_frontend
+        # auto-discovers the sibling <bank>_ladder.json instead
+        ood_over.update(memory_bank_path=args.memory_bank, ladder_path=None)
+    if ood_over:
+        cfg = cfg.replace(ood=dataclasses.replace(cfg.ood, **ood_over))
 
     from localdiffusion_tpu.data import MNISTDataset, load_mnist_arrays, synthetic_digits
     from localdiffusion_tpu.factory import (
