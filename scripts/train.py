@@ -145,7 +145,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="config_train.yaml")
     ap.add_argument("--steps", type=int, default=None)
-    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="default: cfg.train.batch_size (a silent 64 here "
+                         "once OOMed 256px training; the config must win)")
     ap.add_argument("--results", default=None)
     ap.add_argument(
         "--step-mode",
@@ -190,6 +192,8 @@ def main():
     init_distributed(args.coordinator, args.num_processes, args.process_id)
 
     cfg = load_config(args.config)
+    if args.batch_size is None:
+        args.batch_size = cfg.train.batch_size
     if args.results:
         import dataclasses
 
