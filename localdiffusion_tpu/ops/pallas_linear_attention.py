@@ -59,6 +59,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -240,7 +241,14 @@ def supports(x_shape, heads: int, dim_head: int, nph: int) -> bool:
 
 
 def _row_tile(hw: int) -> int:
-    for cand in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+    # Largest divisor wins: swept on-chip at the chain shape (hw=16384) —
+    # T=2048 2.10 ms vs 1024 2.27 / 512 2.26 / 256 2.42 (per-program
+    # overhead dominates below 2048; VMEM fits comfortably at all of them).
+    # LOCALDIFF_LINATT_T overrides for sweeps (scripts/check_pallas_lowering).
+    pref = int(os.environ.get("LOCALDIFF_LINATT_T", "0"))
+    cands = ([pref] if pref > 0 else []) + [2048, 1024, 512, 256, 128,
+                                            64, 32, 16, 8]
+    for cand in cands:
         if hw % cand == 0:
             return cand
     return hw
