@@ -194,7 +194,13 @@ def _algorithmic_flops(fn_factory, args) -> float | None:
                 ca = lowered.cost_analysis()
                 if isinstance(ca, (list, tuple)):
                     ca = ca[0] if ca else {}
-                return float(ca.get("flops", 0.0)) or None
+                flops = float(ca.get("flops", 0.0))
+                # a backend whose cost analysis succeeds but reports 0
+                # flops must NOT short-circuit the CPU-client fallback
+                # (ADVICE r4): keep trying the next candidate instead
+                if flops > 0:
+                    return flops
+                last = ValueError(f"cost_analysis flops={flops}")
             except Exception as e:  # noqa: BLE001 — diagnostic fallback
                 last = e
         print(f"[bench] analytic FLOP count failed: "

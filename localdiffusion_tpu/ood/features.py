@@ -102,35 +102,55 @@ class DenoiserFeatureSource:
     name = "denoiser"
     preprocess = "raw"
 
-    def __init__(self, gd, params, t: int = 5,
+    def __init__(self, gd, params, t=5,
                  layers: Tuple[str, ...] = ("down2_block2", "down3_block2")):
-        self.layers = tuple(layers)
+        # t may be a single timestep or a tuple → multi-t ensemble: taps at
+        # every listed t are exposed as separate layers ("t{t}:{tap}") and
+        # concatenated into ONE embedding by PatchCore.generate_embedding —
+        # one memory bank, one NN search (VERDICT r4 next #1)
+        self.ts = (tuple(int(v) for v in t)
+                   if isinstance(t, (tuple, list)) else (int(t),))
+        self.t = self.ts[0]  # back-compat surface
+        self.base_layers = tuple(layers)
+        if len(self.ts) == 1:
+            self.layers = self.base_layers
+        else:
+            self.layers = tuple(
+                f"t{tt}:{l}" for tt in self.ts for l in self.base_layers
+            )
         self.gd = gd
         self.params = params
-        self.t = int(t)
-        wanted = set(self.layers)
+        wanted = set(self.base_layers)
         self._filter = lambda mdl, method: mdl.name in wanted
         # stride of each tap under the faithful arch (stage i at H/2^i);
         # stem_space_to_depth shifts everything one level down
         s = gd.model_cfg.stem_space_to_depth
-        self.strides = {
+        base_strides = {
             f"down{i}_block{j}": (2**i) * s
             for i in range(len(gd.model_cfg.dim_mults))
             for j in (1, 2)
         }
+        self.strides = dict(base_strides)
+        for tt in self.ts:
+            for k, v in base_strides.items():
+                self.strides[f"t{tt}:{k}"] = v
 
     def apply(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         b = x.shape[0]
-        t = jnp.full((b,), self.t, jnp.float32)
-        # x doubles as sample and condition: the down path encodes the
-        # sample; a near-zero t makes the pass effectively deterministic
-        _, state = self.gd.model.apply(
-            self.params, x, x, t,
-            capture_intermediates=self._filter, mutable=["intermediates"],
-        )
-        inter = state["intermediates"]
-        return {k: inter[k]["__call__"][0].astype(jnp.float32)
-                for k in self.layers}
+        out: Dict[str, jnp.ndarray] = {}
+        for tt in self.ts:
+            t = jnp.full((b,), tt, jnp.float32)
+            # x doubles as sample and condition: the down path encodes the
+            # sample; a near-zero t makes the pass effectively deterministic
+            _, state = self.gd.model.apply(
+                self.params, x, x, t,
+                capture_intermediates=self._filter, mutable=["intermediates"],
+            )
+            inter = state["intermediates"]
+            for k in self.base_layers:
+                key = k if len(self.ts) == 1 else f"t{tt}:{k}"
+                out[key] = inter[k]["__call__"][0].astype(jnp.float32)
+        return out
 
 
 def load_seg_params(path: Optional[str], size: int):

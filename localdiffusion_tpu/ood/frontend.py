@@ -23,6 +23,7 @@ from localdiffusion_tpu.ood.thresholds import (
     ladder_for,
     load_ladder,
     manual_mask,
+    refine_masks,
     soft_mask_from_map,
 )
 from localdiffusion_tpu.ops.resize import imagenet_normalize, resize_bilinear
@@ -121,7 +122,11 @@ class OODFrontend:
             m = manual_mask(shape, cfg.ood.manual_mask_cols)
             return m, m.copy(), None
 
-        dilate = cfg.ood.resolved_mask_dilate(img_size)
+        strides = (
+            getattr(self.patchcore.source, "strides", None)
+            if self.patchcore is not None else None
+        )
+        dilate = cfg.ood.resolved_mask_dilate(img_size, strides=strides)
         if det == "seg":
             logits = self.seg_apply(jnp.asarray(lr))
             probs = jax.nn.sigmoid(logits)
@@ -150,7 +155,26 @@ class OODFrontend:
         else:
             name = "mvtec" if "mvtec" in cfg.data.name else cfg.data.name
             ladder = ladder_for(name, self._ladder_variant())
+        refine = cfg.ood.mask_refine == "hysteresis"
         mask_pred, binary = soft_mask_from_map(
-            amap_np, ladder, dilate=dilate
+            amap_np, ladder, dilate=0 if refine else dilate
         )
+        if refine:
+            # per-image adaptive re-segmentation + hysteresis growth
+            # (thresholds.refine_mask_single); any residual mask_dilate is
+            # applied AFTER refinement
+            mask_pred, binary = refine_masks(
+                amap_np, mask_pred, binary,
+                seed=cfg.ood.refine_seed,
+                hi_frac=cfg.ood.refine_hi_frac,
+                lo_frac=cfg.ood.refine_lo_frac,
+                min_area=cfg.ood.refine_min_area,
+            )
+            if dilate > 0:
+                pairs = [
+                    dilate_with_backoff(mask_pred[i], binary[i], dilate)
+                    for i in range(len(binary))
+                ]
+                mask_pred = np.stack([p[0] for p in pairs])
+                binary = np.stack([p[1] for p in pairs])
         return mask_pred, binary, amap_np

@@ -169,6 +169,92 @@ def dilate_with_backoff(
     return mask, binary
 
 
+def refine_mask_single(
+    a: np.ndarray,
+    soft: np.ndarray,
+    binary: np.ndarray,
+    seed: str = "fwhm",
+    hi_frac: float = 0.5,
+    lo_frac: float = 0.25,
+    min_area: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-image adaptive refinement of ONE image's ladder mask
+    (EXTENSION — VERDICT r4 next #1: raw mask quality without the
+    isotropic-dilation crutch).
+
+    The fitted ladder keeps the anomalous-or-not GATE decision (calibrated
+    on normal data); this refines the SEGMENTATION of an already-gated
+    image from its own score distribution:
+
+      bg    = median of the image's anomaly map (the in-distribution level
+              — lesions cover a small fraction of pixels, so the median is
+              robust to them)
+      seeds = pixels ≥ bg + hi_frac·(max − bg)  ('fwhm': full-width at a
+              fraction of max — the blurred NN-distance blob is segmented
+              at half-height instead of at a global constant), or the
+              ladder's own threshold pixels ('ladder')
+      grow  = seeds flood-filled through connected pixels ≥
+              bg + lo_frac·(max − bg)  (hysteresis, à la Canny): the mask
+              follows the lesion's actual support instead of a fixed-radius
+              halo, so it stops at the background level in every direction
+      filter= components smaller than min_area px are dropped (components
+              not connected to any seed never survive the flood fill)
+
+    Uniform-ones inputs (the no-anomaly bypass sentinel) pass through
+    untouched.  The soft mask is floored at 1 inside the grown region —
+    the same full-strength treatment grey dilation gave the halo, which is
+    what the round-3 dilation sweep showed the branched chain needs."""
+    if binary.min() >= 1.0:
+        return soft, binary
+    from scipy import ndimage
+
+    a2 = np.asarray(a, np.float32)[..., 0]
+    amax = float(a2.max())
+    bg = float(np.median(a2))
+    scale = max(amax - bg, 1e-12)
+    if seed == "fwhm":
+        seeds = a2 >= bg + hi_frac * scale
+    else:
+        seeds = binary[..., 0] > 0
+    lo = bg + lo_frac * scale
+    grown = ndimage.binary_propagation(seeds, mask=(a2 >= lo))
+    if min_area > 0:
+        lab, n = ndimage.label(grown)
+        if n > 0:
+            sizes = ndimage.sum_labels(grown, lab, index=np.arange(1, n + 1))
+            keep = np.flatnonzero(sizes >= min_area) + 1
+            grown = np.isin(lab, keep)
+    if not grown.any():
+        # never hand a gated (anomalous) image an empty OOD region — fall
+        # back to the seeds (the reference asserts non-empty masked
+        # branches, ddpm.py:790)
+        grown = seeds
+    binary_out = grown[..., None].astype(np.float32)
+    soft_out = np.maximum(np.asarray(soft, np.float32), binary_out)
+    return soft_out, binary_out
+
+
+def refine_masks(
+    anomaly_map: np.ndarray,
+    masks: np.ndarray,
+    binaries: np.ndarray,
+    seed: str = "fwhm",
+    hi_frac: float = 0.5,
+    lo_frac: float = 0.25,
+    min_area: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Batch wrapper over refine_mask_single ([B, H, W, 1] stacks)."""
+    out_m, out_b = [], []
+    for a, m, b in zip(np.asarray(anomaly_map, np.float32), masks, binaries):
+        m2, b2 = refine_mask_single(
+            a, m, b, seed=seed, hi_frac=hi_frac, lo_frac=lo_frac,
+            min_area=min_area,
+        )
+        out_m.append(m2)
+        out_b.append(b2)
+    return np.stack(out_m), np.stack(out_b)
+
+
 def soft_mask_from_map(
     anomaly_map: np.ndarray, ladder: ThresholdLadder, dilate: int = 0
 ) -> Tuple[np.ndarray, np.ndarray]:

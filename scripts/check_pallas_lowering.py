@@ -240,12 +240,17 @@ def main():
     print(f"backend: {backend} ({jax.devices()[0].device_kind})")
     if backend != "tpu":
         print("WARNING: not on TPU — this checks nothing Mosaic-specific")
+    selected = [n for n in CHECKS if not pat or pat in n]
+    if not selected:
+        # a wrong filter must not silently check nothing (VERDICT r4 weak
+        # #6: 'linear' matched nothing where 'linatt_s2d' was meant)
+        print(f"ERROR: filter {pat!r} matches no check. "
+              f"Available: {', '.join(CHECKS)}")
+        sys.exit(2)
     ok = True
-    for name, fn in CHECKS.items():
-        if pat and pat not in name:
-            continue
+    for name in selected:
         try:
-            ok &= fn()
+            ok &= CHECKS[name]()
         except Exception as e:  # lowering failures land here
             print(f"[FAIL] {name}: {type(e).__name__}: {e}")
             ok = False

@@ -56,8 +56,21 @@ def main():
     ap.add_argument("--ratio", type=float, default=0.1)
     ap.add_argument("--gate-q", type=float, default=0.95)
     ap.add_argument("--feature-npz", default=None)
-    ap.add_argument("--feature-t", type=int, default=None)
+    ap.add_argument("--feature-t", default=None,
+                    help="tap timestep; comma list = multi-t ensemble")
     ap.add_argument("--feature-layers", default=None)
+    # mask-refinement sweep (VERDICT r5 #1): post-processing runs on the
+    # CACHED anomaly maps, so sweeping (seed, hi, lo) combos is ~free next
+    # to the feature extraction
+    ap.add_argument("--refine-seeds", default="fwhm",
+                    help="comma list of refine seed modes (fwhm,ladder)")
+    ap.add_argument("--hi-fracs", default="0.5",
+                    help="comma list of refine_hi_frac values")
+    ap.add_argument("--lo-fracs", default="0.25",
+                    help="comma list of refine_lo_frac values")
+    ap.add_argument("--min-area", type=int, default=0)
+    ap.add_argument("--refine-dilate", type=int, default=0,
+                    help="residual dilation applied AFTER refinement")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -70,7 +83,12 @@ def main():
     from localdiffusion_tpu.ood.features import make_feature_source
     from localdiffusion_tpu.ood.frontend import OODFrontend
     from localdiffusion_tpu.ood.patchcore import PatchCore
-    from localdiffusion_tpu.ood.thresholds import fit_ladder, soft_mask_from_map
+    from localdiffusion_tpu.ood.thresholds import (
+        dilate_with_backoff,
+        fit_ladder,
+        refine_masks,
+        soft_mask_from_map,
+    )
 
     cfg0 = load_config(args.config)
     d = cfg0.data
@@ -91,11 +109,12 @@ def main():
         if args.feature_npz:
             over["feature_npz"] = args.feature_npz
         if args.feature_t is not None:
-            over["feature_t"] = args.feature_t
+            ts = [int(v) for v in str(args.feature_t).split(",")]
+            over["feature_t"] = ts[0] if len(ts) == 1 else tuple(ts)
         if args.feature_layers:
             over["feature_layers"] = tuple(args.feature_layers.split(","))
         cfg = cfg0.replace(ood=dataclasses.replace(cfg0.ood, **over))
-        dilate = cfg.ood.resolved_mask_dilate(size)
+        dilate = None  # resolved from the instantiated source's strides
 
         per_refit = []
         for r in range(args.refits):
@@ -111,6 +130,10 @@ def main():
             )
             pc = PatchCore(cfg.ood, rng=jax.random.PRNGKey(seed),
                            source=source)
+            if dilate is None:
+                dilate = cfg.ood.resolved_mask_dilate(
+                    size, strides=getattr(pc.source, "strides", None)
+                )
             fe = OODFrontend(cfg, patchcore=pc)
             batches = [
                 np.asarray(fe._preprocess_patchcore(
@@ -128,9 +151,8 @@ def main():
 
             prep_t = fe._preprocess_patchcore(jnp.asarray(lr_t))
             amap = np.asarray(pc(prep_t)["anomaly_map"], np.float32)
-            row = {}
-            for dil, tag in ((0, "iou"), (dilate, "iou_dilated")):
-                _, binary = soft_mask_from_map(amap, ladder, dilate=dil)
+
+            def score(binary):
                 fired = [
                     not bool((binary[i] == 1.0).all())
                     for i in range(len(lr_t))
@@ -139,12 +161,42 @@ def main():
                     iou(binary[i], gt[i]) if fired[i] else 0.0
                     for i in range(len(lr_t))
                 ]
-                row[tag] = float(np.mean(ious))
-                row[f"{tag}_fired"] = int(np.sum(fired))
+                return float(np.mean(ious)), int(np.sum(fired))
+
+            row = {}
+            mask_raw, binary_raw = soft_mask_from_map(amap, ladder, dilate=0)
+            row["iou"], row["iou_fired"] = score(binary_raw)
+            _, binary_dil = soft_mask_from_map(amap, ladder, dilate=dilate)
+            row["iou_dilated"], row["iou_dilated_fired"] = score(binary_dil)
+            for seed_mode in args.refine_seeds.split(","):
+                for hi in (float(v) for v in args.hi_fracs.split(",")):
+                    for lo in (float(v) for v in args.lo_fracs.split(",")):
+                        if lo > hi:
+                            continue
+                        m, b = refine_masks(
+                            amap, mask_raw, binary_raw, seed=seed_mode,
+                            hi_frac=hi, lo_frac=lo, min_area=args.min_area,
+                        )
+                        tag = f"iou_{seed_mode}_h{hi:g}_l{lo:g}"
+                        row[tag], row[f"{tag}_fired"] = score(b)
+                        if args.refine_dilate > 0:
+                            pairs = [
+                                dilate_with_backoff(m[i], b[i],
+                                                    args.refine_dilate)
+                                for i in range(len(b))
+                            ]
+                            bd = np.stack([p[1] for p in pairs])
+                            row[f"{tag}_d{args.refine_dilate}"], _ = score(bd)
             per_refit.append(row)
+            extras = " ".join(
+                f"{k[4:]}={v:.3f}" for k, v in row.items()
+                if k.startswith("iou_") and not k.endswith("_fired")
+                and k != "iou_dilated"
+            )
             print(f"[{src_name}] refit {r}: iou={row['iou']:.3f} "
                   f"dilated={row['iou_dilated']:.3f} "
-                  f"fired={row['iou_fired']}/{len(lr_t)}", flush=True)
+                  f"fired={row['iou_fired']}/{len(lr_t)} {extras}",
+                  flush=True)
 
         agg = {
             k: {
@@ -152,7 +204,8 @@ def main():
                 "std": float(np.std([x[k] for x in per_refit])),
                 "min": float(np.min([x[k] for x in per_refit])),
             }
-            for k in ("iou", "iou_dilated")
+            for k in per_refit[0]
+            if k.startswith("iou") and not k.endswith("_fired")
         }
         results[src_name] = {"refits": per_refit, "agg": agg,
                              "dilate": dilate}

@@ -37,6 +37,12 @@ def main():
     ap.add_argument("--raw", action="store_true",
                     help="train on raw-intensity t1 instead of the "
                          "pipeline-normalized conditioning distribution")
+    ap.add_argument("--config", default=None,
+                    help="config whose normalization stats define the "
+                         "training distribution (ADVICE r4: the detector "
+                         "must see the SAME normalization ood/frontend.py "
+                         "feeds it at inference); defaults to the "
+                         "synthetic_brain_translation built-ins")
     args = ap.parse_args()
 
     from localdiffusion_tpu.data import ArrayLoader, synthetic_brain_pair
@@ -56,10 +62,17 @@ def main():
             synthetic_brain_translation,
         )
 
+        norm = {}
+        if args.config:
+            from scripts.train import load_config
+
+            d = load_config(args.config).data
+            norm = dict(mean_t1=d.mean_t1, std_t1=d.std_t1,
+                        mean_flair=d.mean_flair, std_flair=d.std_flair)
         _, t1, seg = synthetic_brain_translation(
-            64, args.size, tumor=True, seed=0)
+            64, args.size, tumor=True, seed=0, **norm)
         _, t1v, segv = synthetic_brain_translation(
-            16, args.size, tumor=True, seed=1)
+            16, args.size, tumor=True, seed=1, **norm)
     seg = (seg > 0).astype(np.float32)
     segv = (segv > 0).astype(np.float32)
 

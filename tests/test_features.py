@@ -49,6 +49,36 @@ def test_denoiser_source_taps(tiny_gd):
     assert src.strides["down1_block2"] == 2
 
 
+def test_denoiser_source_multi_t_ensemble(tiny_gd):
+    """feature_t as a tuple exposes taps at every t as separate layers
+    ('t{t}:{tap}'), concatenated into one embedding by PatchCore
+    (VERDICT r4 next #1: multi-t feature ensembles)."""
+    gd, params = tiny_gd
+    src = DenoiserFeatureSource(gd, params, t=(2, 10),
+                                layers=("down0_block2", "down1_block2"))
+    assert src.layers == ("t2:down0_block2", "t2:down1_block2",
+                          "t10:down0_block2", "t10:down1_block2")
+    assert src.strides["t10:down1_block2"] == 2
+    x = jax.random.normal(KEY, (2, 32, 32, 1))
+    feats = src.apply(x)
+    assert set(feats) == set(src.layers)
+    assert feats["t2:down0_block2"].shape == (2, 32, 32, 8)
+    # different t → different FiLM conditioning → different activations
+    assert not np.allclose(np.asarray(feats["t2:down0_block2"]),
+                           np.asarray(feats["t10:down0_block2"]))
+
+    cfg = OODConfig(input_size=32, num_neighbors=3, coreset_ratio=0.25,
+                    feature_source="denoiser", feature_t=(2, 10))
+    pc = PatchCore(cfg, source=src)
+    normal = np.random.default_rng(0).normal(
+        size=(4, 32, 32, 1)
+    ).astype(np.float32)
+    pc.build_memory_bank([normal])
+    out = pc(jnp.asarray(normal[:2]))
+    assert out["anomaly_map"].shape == (2, 32, 32, 1)
+    assert np.isfinite(np.asarray(out["anomaly_map"])).all()
+
+
 def test_seg_encoder_source_taps():
     from localdiffusion_tpu.models.seg_unet import SegUNet
 
@@ -134,3 +164,17 @@ def test_feature_source_config_validation():
                     input_size=256,
                     feature_layers=("down2_block2", "down3_block2"))
     assert cfg.resolved_mask_dilate(256) == 8  # stride 8 tap, scale 1
+    # ADVICE r4: the fallback (no feature_layers) must match
+    # make_feature_source's per-source defaults, raw sources must not be
+    # rescaled by input_size, and an instantiated source's strides dict
+    # (which knows the stem factor) must win over the config heuristic
+    nolayers = OODConfig(feature_source="denoiser", mask_dilate=-1,
+                         input_size=224)
+    assert nolayers.resolved_mask_dilate(256) == 8  # down3_block2, no rescale
+    stem = nolayers.resolved_mask_dilate(
+        256, strides={"down2_block2": 8, "down3_block2": 16}
+    )
+    assert stem == 16  # stem_space_to_depth=2 doubles every tap stride
+    segsrc = OODConfig(feature_source="seg_encoder", mask_dilate=-1,
+                       input_size=224)
+    assert segsrc.resolved_mask_dilate(256) == 8  # down3 stride, no rescale

@@ -1,6 +1,12 @@
 """Watchdog supervisor: stall detection, kill, cooldown, relaunch, crash
 retry (scripts/watchdog.py — the auto-relaunch half of failure recovery;
-checkpoint auto-resume is the other half, tested via scripts/train.py)."""
+checkpoint auto-resume is the other half, tested via scripts/train.py).
+
+The stall/grace tests drive watchdog.run() in-process with a FAKE clock
+(VERDICT r4 weak #6: the real-subprocess versions raced python startup
+against a 3-s stall threshold and flaked under load on the one-core host).
+Only the timing-insensitive pass-through tests still spawn subprocesses.
+"""
 
 import os
 import subprocess
@@ -9,6 +15,9 @@ import textwrap
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WATCHDOG = os.path.join(ROOT, "scripts", "watchdog.py")
+sys.path.insert(0, ROOT)
+
+from scripts.watchdog import run  # noqa: E402
 
 
 def _run(args, timeout=120):
@@ -24,6 +33,62 @@ def _child_script(tmp_path, body):
     return str(p)
 
 
+# ---------------------------------------------------------------- fakes
+class FakeWorld:
+    """Deterministic clock + watched-file mtime; sleeping advances time."""
+
+    def __init__(self):
+        self.t = 1000.0
+        self.file_mtime = 0.0
+
+    def clock(self):
+        return self.t
+
+    def sleep(self, s):
+        self.t += s
+
+    def mtime(self, _path):
+        return self.file_mtime
+
+
+class FakeChild:
+    """subprocess.Popen stand-in: `script(world, self)` returns the poll()
+    result (None = still running); send_signal marks it killed."""
+
+    def __init__(self, world, script):
+        self.world = world
+        self.script = script
+        self.signalled = False
+
+    def poll(self):
+        if self.signalled:
+            return -15
+        return self.script(self.world, self)
+
+    def send_signal(self, sig):
+        self.signalled = True
+
+    def terminate(self):
+        self.signalled = True
+
+    def kill(self):
+        self.signalled = True
+
+    def wait(self, timeout=None):
+        return -15 if self.signalled else 0
+
+
+def _popen_sequence(world, scripts):
+    """popen() that launches the next scripted child per attempt."""
+    it = iter(scripts)
+
+    def popen(cmd):
+        return FakeChild(world, next(it))
+
+    return popen
+
+
+# ------------------------------------------------------- subprocess tests
 def test_clean_exit_passes_through(tmp_path):
     progress = tmp_path / "progress.txt"
     child = _child_script(tmp_path, f"""
@@ -32,28 +97,6 @@ def test_clean_exit_passes_through(tmp_path):
     r = _run(["--file", str(progress), "--stall-seconds", "60",
               "--cooldown", "0", "--", sys.executable, child])
     assert r.returncode == 0
-    assert "finished cleanly" in r.stdout
-
-
-def test_stall_is_killed_and_relaunched_resume_completes(tmp_path):
-    """First run writes progress then freezes (never touches the file
-    again); watchdog kills it, relaunches; second run sees the marker and
-    exits 0 — the auto-resume pattern."""
-    progress = tmp_path / "progress.txt"
-    marker = tmp_path / "attempt2"
-    child = _child_script(tmp_path, f"""
-        import os, sys, time
-        if os.path.exists({str(marker)!r}):
-            sys.exit(0)                      # 'resumed' run completes
-        open({str(marker)!r}, "w").write("x")
-        open({str(progress)!r}, "w").write("step 0")
-        time.sleep(3600)                     # wedge: alive, no progress
-    """)
-    r = _run(["--file", str(progress), "--stall-seconds", "3",
-              "--startup-grace", "3", "--cooldown", "0", "--poll", "0.5",
-              "--", sys.executable, child])
-    assert r.returncode == 0, r.stdout + r.stderr
-    assert "STALL" in r.stdout
     assert "finished cleanly" in r.stdout
 
 
@@ -71,17 +114,76 @@ def test_crash_is_retried_then_gives_up(tmp_path):
     assert "giving up" in r.stdout
 
 
-def test_cold_compile_grace_not_killed(tmp_path):
-    """A child that is silent for longer than --stall-seconds but within
-    --startup-grace (cold-cache compile) must NOT be killed."""
-    progress = tmp_path / "progress.txt"
-    child = _child_script(tmp_path, f"""
-        import time
-        time.sleep(4)                        # 'compiling': > stall budget
-        open({str(progress)!r}, "w").write("step 0")
-    """)
-    r = _run(["--file", str(progress), "--stall-seconds", "1",
-              "--startup-grace", "30", "--cooldown", "0", "--poll", "0.5",
-              "--", sys.executable, child])
-    assert r.returncode == 0
-    assert "STALL" not in r.stdout
+# ------------------------------------------------------- fake-clock tests
+def test_stall_is_killed_and_relaunched_resume_completes():
+    """First run writes progress once then freezes (mtime stops advancing
+    while the child stays alive); watchdog kills it and relaunches; the
+    'resumed' second run completes — the auto-resume pattern."""
+    world = FakeWorld()
+    logs = []
+
+    def wedged(w, child):
+        # writes progress 1 s after launch, then never again, never exits
+        if w.file_mtime == 0.0:
+            w.file_mtime = w.t + 1.0
+        return None
+
+    def resumed(w, child):
+        return 0  # picks up the checkpoint and finishes immediately
+
+    rc = run(["train"], "progress.txt", stall_seconds=30.0, cooldown=240.0,
+             max_restarts=3, poll=5.0, startup_grace=600.0,
+             log=logs.append, clock=world.clock, sleeper=world.sleep,
+             popen=_popen_sequence(world, [wedged, resumed]),
+             mtime=world.mtime)
+    out = "\n".join(logs)
+    assert rc == 0
+    assert "STALL" in out
+    assert "cooling down 240s" in out
+    assert "finished cleanly" in out
+    assert out.count("launching") == 2
+
+
+def test_cold_compile_grace_not_killed():
+    """A child silent for longer than --stall-seconds but within
+    --startup-grace (cold-cache XLA compile) must NOT be killed; once the
+    progress file first advances, the short stall budget takes over."""
+    world = FakeWorld()
+    logs = []
+    launch_t = world.t
+
+    def compiling(w, child):
+        # silent for 300 s (≫ stall budget 30), then writes + exits
+        if w.t - launch_t < 300.0:
+            return None
+        w.file_mtime = w.t
+        return 0
+
+    rc = run(["train"], "progress.txt", stall_seconds=30.0, cooldown=0.0,
+             max_restarts=0, poll=5.0, startup_grace=1800.0,
+             log=logs.append, clock=world.clock, sleeper=world.sleep,
+             popen=_popen_sequence(world, [compiling]), mtime=world.mtime)
+    out = "\n".join(logs)
+    assert rc == 0
+    assert "STALL" not in out
+    assert "finished cleanly" in out
+
+
+def test_startup_grace_exceeded_is_killed():
+    """Silence past even the startup grace IS a stall (wedge before the
+    first progress write) — killed and retried until the budget runs out."""
+    world = FakeWorld()
+    logs = []
+
+    def dead_silent(w, child):
+        return None  # never writes, never exits
+
+    rc = run(["train"], "progress.txt", stall_seconds=30.0, cooldown=0.0,
+             max_restarts=1, poll=5.0, startup_grace=120.0,
+             log=logs.append, clock=world.clock, sleeper=world.sleep,
+             popen=_popen_sequence(world, [dead_silent, dead_silent]),
+             mtime=world.mtime)
+    out = "\n".join(logs)
+    assert rc != 0
+    assert out.count("STALL") == 2
+    assert "giving up" in out
