@@ -135,7 +135,12 @@ def _embed_bd(wseg: jnp.ndarray, nph: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 def _rms_in(x_ref, mnorm_ref, gt_ref):
     xf = x_ref[0].astype(jnp.float32)  # [T, 128]
-    sq = xf * xf
+    # the group-sum mask matmul runs in bf16 (f32×f32 matmuls execute at a
+    # fraction of the MXU's bf16 rate — round-5 finding): sq is exact in
+    # bf16 up to 8-bit-mantissa rounding of each square, the f32
+    # accumulation keeps the 32-term sum exact, and the ±0.2% norm error
+    # is far inside the kernel's bf16 output rounding
+    sq = (xf * xf).astype(jnp.bfloat16)
     s_g = jax.lax.dot(sq, mnorm_ref[...], preferred_element_type=jnp.float32)
     xn = xf * (gt_ref[...] / jnp.maximum(jnp.sqrt(s_g), 1e-12))
     return xf, xn.astype(jnp.bfloat16)
@@ -207,7 +212,10 @@ def _q_kernel(x_ref, wq_ref, mnorm_ref, mhead_ref, gt_ref,
         # stability shift: full-row max (any per-token constant is exact)
         rmax = jnp.max(qp, axis=1, keepdims=True)  # [T, 1]
         e = jnp.exp(qp - rmax)
-        den = jax.lax.dot(e, mhead, preferred_element_type=jnp.float32)
+        # bf16 operands for the per-head denominator mask matmul (MXU
+        # bf16-rate); division stays f32
+        den = jax.lax.dot(e.astype(jnp.bfloat16), mhead,
+                          preferred_element_type=jnp.float32)
         qs = (e / den).astype(jnp.bfloat16) * jnp.bfloat16(scale)
         # out[t, c] = Σ_d qs[t, d]·W̃ₚ[d, c] — q·ctx and the output
         # projection fused into one data-dependent weight (built per call
@@ -219,7 +227,7 @@ def _q_kernel(x_ref, wq_ref, mnorm_ref, mhead_ref, gt_ref,
 
     # output RMSNorm over each C-lane token group (+ optional residual)
     ob = out_acc.astype(jnp.bfloat16).astype(jnp.float32)
-    sq = ob * ob
+    sq = (ob * ob).astype(jnp.bfloat16)
     s_g = jax.lax.dot(sq, mnorm_ref[...], preferred_element_type=jnp.float32)
     on = ob * (gout_ref[...] / jnp.maximum(jnp.sqrt(s_g), 1e-12))
     y = on + xf if add_residual else on
@@ -282,8 +290,10 @@ def _forward(x, g_in, w_qkv, w_out, b_out, g_out,
         wout_emb = wout_emb.at[p, :, p * c : (p + 1) * c].set(
             w_out.astype(jnp.bfloat16)
         )
-    mnorm = _block_mask(c)
-    mhead = _block_mask(dim_head)
+    # 0/1 masks are exact in bf16; bf16 operands keep every in-kernel mask
+    # matmul at the MXU's native bf16 rate (f32 matmuls run 4-8× slower)
+    mnorm = _block_mask(c).astype(jnp.bfloat16)
+    mhead = _block_mask(dim_head).astype(jnp.bfloat16)
     g_t = jnp.tile(g_in.astype(jnp.float32), nph)[None, :] * math.sqrt(c)
     gout_t = jnp.tile(g_out.astype(jnp.float32), nph)[None, :] * math.sqrt(c)
     bout_t = jnp.tile(b_out.astype(jnp.float32), nph)[None, :]

@@ -11,6 +11,13 @@ TPU chip actually wants:
   * Dynamic batching: requests queue up; a worker collects up to
     `batch_size` of them, waiting at most `max_wait_ms` after the first —
     latency-bounded batch fill, the standard TPU serving pattern.
+  * Pipelined detection (overlap_detect=True): Stage A (detector) for
+    batch N+1 runs on a separate thread while batch N's sampling chain is
+    still executing.  The sampling scan is one long device-resident
+    dispatch, so the detect thread's host work (mask fitting, transfers,
+    dispatch latency over the tunnel) hides behind it instead of
+    serializing with it — the reference pays Stage A serially per image
+    (reference test.py:199-383).
   * Uniform/branched partitioning: Stage A (detector) runs batched on the
     collected inputs, then rows whose mask is uniform ones take the plain
     chain (half the UNet work) and only anomalous rows take the branched
@@ -63,15 +70,23 @@ class InferenceServer:
         max_wait_ms: float = 50.0,
         base_seed: int = 0,
         merge_mixed: bool = True,
+        overlap_detect: bool = True,
     ):
         self.pipe = pipeline
         self.batch_size = int(batch_size)
         self.max_wait = max_wait_ms / 1e3
         self.merge_mixed = bool(merge_mixed)
+        self.overlap_detect = bool(overlap_detect)
         self.base_key = jax.random.PRNGKey(base_seed)
         self._q: "queue.Queue[_Request]" = queue.Queue()
+        # detect→sample handoff: bounded so the detect thread runs at most
+        # one batch ahead of the sampler (two would add queueing latency
+        # without adding overlap — there is only one chip)
+        self._sq: "queue.Queue" = queue.Queue(maxsize=1)
         self._stop = threading.Event()
         self._worker: Optional[threading.Thread] = None
+        self._sampler_thread: Optional[threading.Thread] = None
+        self._sampling = threading.Event()  # Stage B in flight
         self._batch_index = 0
         self._lock = threading.Lock()
         self.stats: Dict[str, float] = {
@@ -81,6 +96,7 @@ class InferenceServer:
             "branched_dispatches": 0,
             "merged_dispatches": 0,
             "padded_slots": 0,
+            "overlap_batches": 0,  # Stage A ran while a Stage B was in flight
             "latency_sum_s": 0.0,
             "latency_max_s": 0.0,
         }
@@ -94,6 +110,11 @@ class InferenceServer:
         self._stop.clear()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
+        if self.overlap_detect:
+            self._sampler_thread = threading.Thread(
+                target=self._sample_loop, daemon=True
+            )
+            self._sampler_thread.start()
         return self
 
     def stop(self):
@@ -101,6 +122,10 @@ class InferenceServer:
         if self._worker is not None:
             self._worker.join(timeout=60)
             self._worker = None
+        if self._sampler_thread is not None:
+            self._sq.put(None)  # sentinel: drain-and-exit
+            self._sampler_thread.join(timeout=120)
+            self._sampler_thread = None
         # requests still queued will never be processed — fail their
         # futures so callers blocked in result(timeout=...) return now
         # instead of hanging until their timeout
@@ -162,16 +187,48 @@ class InferenceServer:
         return batch
 
     def _loop(self):
+        """Collect + Stage A.  With overlap_detect, finished batches are
+        handed to the sampler thread; otherwise Stage B runs inline."""
         while not self._stop.is_set():
             batch = self._collect()
             if not batch:
                 continue
+            key = jax.random.fold_in(self.base_key, self._batch_index)
+            self._batch_index += 1
             try:
-                self._process(batch)
+                overlapped = self._sampling.is_set()
+                self._stage_a(batch)
+                if overlapped:
+                    with self._lock:
+                        self.stats["overlap_batches"] += 1
             except Exception as e:  # resolve futures, keep serving
                 for r in batch:
                     if not r.future.done():
                         r.future.set_exception(e)
+                continue
+            if self.overlap_detect:
+                self._sq.put((batch, key))
+            else:
+                self._run_stage_b(batch, key)
+
+    def _sample_loop(self):
+        while True:
+            item = self._sq.get()
+            if item is None:  # stop() sentinel — queued batches already drained (FIFO)
+                return
+            batch, key = item
+            self._run_stage_b(batch, key)
+
+    def _run_stage_b(self, batch: List[_Request], key):
+        self._sampling.set()
+        try:
+            self._stage_b(batch, key)
+        except Exception as e:
+            for r in batch:
+                if not r.future.done():
+                    r.future.set_exception(e)
+        finally:
+            self._sampling.clear()
 
     # ------------------------------------------------------------------
     def _pad(self, rows: List[np.ndarray]) -> np.ndarray:
@@ -183,12 +240,9 @@ class InferenceServer:
             arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
         return arr
 
-    def _process(self, batch: List[_Request]):
+    def _stage_a(self, batch: List[_Request]):
+        """Detector masks for rows that did not bring one."""
         scfg = self.pipe.config.sampler
-        key = jax.random.fold_in(self.base_key, self._batch_index)
-        self._batch_index += 1
-
-        # Stage A — detector masks for rows that did not bring one
         need = [r for r in batch if r.mask is None]
         if need and self.pipe.frontend is not None and scfg.ood_ad:
             lrs = self._pad([r.lr for r in need])
@@ -199,6 +253,8 @@ class InferenceServer:
             if r.mask is None:
                 r.mask = np.ones((*r.lr.shape[:2], 1), np.float32)
 
+    def _stage_b(self, batch: List[_Request], key):
+        scfg = self.pipe.config.sampler
         # partition: uniform-ones masks → plain chain (1 UNet call/step),
         # anomalous masks → branched chain (2 calls/step)
         plain = [r for r in batch if np.all(r.mask == 1.0) or not scfg.branch_out]

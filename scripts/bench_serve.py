@@ -55,6 +55,9 @@ def main():
                     help="serve mixed batches as two dispatches (plain + "
                          "branched) instead of one merged branched dispatch "
                          "— the policy A/B for serving.py")
+    ap.add_argument("--no-overlap", action="store_true",
+                    help="disable the pipelined Stage A (detect batch N+1 "
+                         "while batch N samples) — the overlap A/B")
     args = ap.parse_args()
 
     from localdiffusion_tpu.utils.logging import (
@@ -102,7 +105,8 @@ def main():
         args.clients = args.requests
     srv = InferenceServer(pipe, batch_size=args.batch_size,
                           max_wait_ms=args.max_wait_ms,
-                          merge_mixed=not args.split_mixed)
+                          merge_mixed=not args.split_mixed,
+                          overlap_detect=not args.no_overlap)
     ones_mask = np.ones((size, size, 1), np.float32)
     try:
         # warmup: the server's own warmup compiles BOTH the plain and the
@@ -158,6 +162,7 @@ def main():
         "detector": cfg.ood.detector,
         "plain_frac": args.plain_frac,
         "mixed_policy": "split" if args.split_mixed else "merged",
+        "overlap_detect": not args.no_overlap,
         "p50_s": round(float(np.percentile(lat, 50)), 4),
         "p95_s": round(float(np.percentile(lat, 95)), 4),
         "p99_s": round(float(np.percentile(lat, 99)), 4),

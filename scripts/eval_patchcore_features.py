@@ -69,8 +69,9 @@ def main():
     ap.add_argument("--lo-fracs", default="0.25",
                     help="comma list of refine_lo_frac values")
     ap.add_argument("--min-area", type=int, default=0)
-    ap.add_argument("--refine-dilate", type=int, default=0,
-                    help="residual dilation applied AFTER refinement")
+    ap.add_argument("--refine-dilate", default="0",
+                    help="residual dilation applied AFTER refinement "
+                         "(comma list sweeps several radii)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -179,14 +180,16 @@ def main():
                         )
                         tag = f"iou_{seed_mode}_h{hi:g}_l{lo:g}"
                         row[tag], row[f"{tag}_fired"] = score(b)
-                        if args.refine_dilate > 0:
+                        for rd in (int(v) for v in
+                                   str(args.refine_dilate).split(",")):
+                            if rd <= 0:
+                                continue
                             pairs = [
-                                dilate_with_backoff(m[i], b[i],
-                                                    args.refine_dilate)
+                                dilate_with_backoff(m[i], b[i], rd)
                                 for i in range(len(b))
                             ]
                             bd = np.stack([p[1] for p in pairs])
-                            row[f"{tag}_d{args.refine_dilate}"], _ = score(bd)
+                            row[f"{tag}_d{rd}"], _ = score(bd)
             per_refit.append(row)
             extras = " ".join(
                 f"{k[4:]}={v:.3f}" for k, v in row.items()

@@ -178,6 +178,11 @@ def main():
         "(utils/params_io.py); optimizer state starts fresh",
     )
     ap.add_argument(
+        "--dtype", choices=["float32", "bfloat16"], default=None,
+        help="compute-dtype override (the bf16-vs-f32 training A/B; "
+             "config default otherwise)",
+    )
+    ap.add_argument(
         "--fsdp", action="store_true",
         help="ZeRO-3-shard params/opt/EMA over the data axis "
         "(parallel/fsdp.py); the reference's only mode is replicated DDP",
@@ -194,12 +199,15 @@ def main():
     cfg = load_config(args.config)
     if args.batch_size is None:
         args.batch_size = cfg.train.batch_size
-    if args.results:
+    if args.results or args.dtype:
         import dataclasses
 
-        cfg = cfg.replace(
-            train=dataclasses.replace(cfg.train, results_dir=args.results)
-        )
+        over = {}
+        if args.results:
+            over["results_dir"] = args.results
+        if args.dtype:
+            over["compute_dtype"] = args.dtype
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, **over))
 
     from localdiffusion_tpu.data import ArrayLoader
     from localdiffusion_tpu.diffusion.gaussian import GaussianDiffusion
