@@ -153,26 +153,45 @@ def build_classifier_gate(cfg: Config, frontend=None, calibration_pairs=None,
     from localdiffusion_tpu.ood.classifier import ClassifierPatchCore
     from localdiffusion_tpu.ood.patchcore import PatchCore
 
-    cls_pc = frontend.patchcore if (
-        frontend is not None and getattr(frontend, "patchcore", None) is not None
-    ) else None
+    # classifier oracle independent of the mask detector: the reference
+    # loads its own patchcore+bank selected by classifier_obj
+    # (models.py:278-287, e.g. memory_bank_mvtec_{obj}.npy).  The obj bank
+    # is preferred over reusing the mask detector's bank — the classifier
+    # scores generated TARGET-domain x_starts, the detector scores
+    # CONDITIONING images, and those distributions differ (MRI: FLAIR vs
+    # T1).  The obj bank carries the embedding geometry of whatever
+    # feature source built it, so the oracle's PatchCore is constructed
+    # with the configured source (ood/features.py), not the WRN default.
+    cls_pc = None
+    if cfg.ood.memory_bank_path:
+        base = cfg.ood.memory_bank_path
+        obj_path = os.path.join(
+            os.path.dirname(base),
+            f"memory_bank_{cfg.data.name}_{cfg.sampler.classifier_obj}.npy",
+        )
+        if os.path.exists(obj_path):
+            mb = np.load(obj_path)
+            if verbose:
+                print(f"classifier memory bank: {obj_path} {mb.shape}")
+            from localdiffusion_tpu.ood.features import make_feature_source
+
+            src = make_feature_source(cfg, verbose=verbose)
+            cls_pc = PatchCore(cfg.ood, memory_bank=mb, source=src)
+    if cls_pc is None and frontend is not None and getattr(
+        frontend, "patchcore", None
+    ) is not None:
+        cls_pc = frontend.patchcore
     if cls_pc is None:
-        # classifier oracle independent of the mask detector: the reference
-        # loads its own patchcore+bank selected by classifier_obj
-        # (models.py:278-287, e.g. memory_bank_mvtec_{obj}.npy)
         mb = None
-        if cfg.ood.memory_bank_path:
-            base = cfg.ood.memory_bank_path
-            obj_path = os.path.join(
-                os.path.dirname(base),
-                f"memory_bank_{cfg.data.name}_{cfg.sampler.classifier_obj}.npy",
-            )
-            for cand in (obj_path, base):
-                if os.path.exists(cand):
-                    mb = np.load(cand)
-                    if verbose:
-                        print(f"classifier memory bank: {cand} {mb.shape}")
-                    break
+        if cfg.ood.memory_bank_path and os.path.exists(
+            cfg.ood.memory_bank_path
+        ):
+            mb = np.load(cfg.ood.memory_bank_path)
+            if verbose:
+                print(
+                    f"classifier memory bank: {cfg.ood.memory_bank_path} "
+                    f"{mb.shape}"
+                )
         cls_pc = PatchCore(cfg.ood, memory_bank=mb)
         if mb is None:
             if calibration_pairs is None:

@@ -65,6 +65,18 @@ class ClassifierPatchCore:
         self.threshold = threshold
         self.denorm = denorm
 
+    def _prep(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Raw-preprocess sources (seg_encoder / denoiser taps,
+        ood/features.py) score the image exactly as the sampler holds it —
+        the ImageNet denorm/resize pipeline is WRN-specific (mirrors
+        OODFrontend._preprocess_patchcore's source dispatch)."""
+        src = getattr(self.patchcore, "source", None)
+        if getattr(src, "preprocess", "imagenet") == "raw":
+            return x
+        return preprocess_for_patchcore(
+            x, self.patchcore.cfg.input_size, self.denorm
+        )
+
     def calibrate(
         self, loader: Iterable[Tuple[np.ndarray, int]]
     ) -> float:
@@ -83,18 +95,12 @@ class ClassifierPatchCore:
         return self.threshold
 
     def score_raw(self, x: jnp.ndarray) -> jnp.ndarray:
-        xin = preprocess_for_patchcore(
-            x, self.patchcore.cfg.input_size, self.denorm
-        )
-        return self.patchcore(xin)["pred_score"]
+        return self.patchcore(self._prep(x))["pred_score"]
 
     def __call__(self, x: jnp.ndarray):
         """(pred ∈ {0,1}, anomaly_map, score) like models.py:404-430."""
         assert self.threshold is not None, "calibrate() or set threshold first"
-        xin = preprocess_for_patchcore(
-            x, self.patchcore.cfg.input_size, self.denorm
-        )
-        out = self.patchcore(xin)
+        out = self.patchcore(self._prep(x))
         score = out["pred_score"]
         pred = (score > self.threshold).astype(jnp.int32)
         amap = resize_bilinear(out["anomaly_map"], x.shape[1:3])
@@ -109,9 +115,15 @@ class ClassifierPatchCore:
         mem = pc.memory_bank
         denorm = self.denorm
         input_size = pc.cfg.input_size
+        raw = getattr(
+            getattr(pc, "source", None), "preprocess", "imagenet"
+        ) == "raw"
 
         def gate(x_start: jnp.ndarray, t=None) -> jnp.ndarray:
-            xin = preprocess_for_patchcore(x_start, input_size, denorm)
+            if raw:
+                xin = x_start
+            else:
+                xin = preprocess_for_patchcore(x_start, input_size, denorm)
             _, pred_score = pc._score(xin, mem)
             return pred_score - thr
 

@@ -57,6 +57,11 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="configs/mri_synthetic_256.yaml")
+    ap.add_argument("--frontend-config", default=None,
+                    help="build Stage A detectors from THIS config instead "
+                         "(e.g. run the stem arch's Stage B with the "
+                         "faithful config's denoiser-tap detector, so the "
+                         "masks are identical across architecture legs)")
     ap.add_argument("--params-npz", default=None)
     ap.add_argument("--milestone", default="latest")
     ap.add_argument("--images", type=int, default=64)
@@ -111,6 +116,9 @@ def main():
           f"gt region {gt_px.mean():.0f}±{gt_px.std():.0f} px", flush=True)
 
     # ---- Stage A masks per variant (computed once; every sampler reuses) --
+    cfg_fe = load_config(args.frontend_config) if args.frontend_config \
+        else cfg0
+
     def detector_cfg(variant):
         over = {}
         if variant == "denoiser":
@@ -130,7 +138,7 @@ def main():
             over["mask_dilate"] = args.refine_dilate
         elif args.mask_dilate is not None:
             over["mask_dilate"] = args.mask_dilate
-        return cfg0.replace(ood=dataclasses.replace(cfg0.ood, **over))
+        return cfg_fe.replace(ood=dataclasses.replace(cfg_fe.ood, **over))
 
     variants = args.variants.split(",")
     masks: dict = {}

@@ -139,3 +139,24 @@ def test_classifier_calibrate_and_gate():
     gate = cls.as_sampler_gate()
     assert float(gate(jnp.full((1, 16, 16, 1), 1.9))[0]) > 0
     assert float(gate(jnp.full((1, 16, 16, 1), 0.1))[0]) < 0
+
+
+class _RawSourceStubPC(_StubPatchCore):
+    """Raw-preprocess source: the classifier must pass images through
+    untouched (no /2, no resize-to-input_size, no ImageNet normalize)."""
+
+    class source:
+        preprocess = "raw"
+
+
+def test_classifier_raw_source_skips_imagenet_prep():
+    cls = ClassifierPatchCore(_RawSourceStubPC(), threshold=1.0)
+    x = jnp.full((1, 28, 28, 1), 1.8)  # 28 != cfg.input_size=16 on purpose
+    # score = mean intensity: raw path keeps 1.8; the WRN path would halve
+    # to 0.9 and imagenet-shift it
+    assert abs(float(cls.score_raw(x)[0]) - 1.8) < 1e-4
+    gate = cls.as_sampler_gate()
+    assert abs(float(gate(x)[0]) - 0.8) < 1e-4
+    # WRN-style stub (no .source) still takes the legacy prep path
+    legacy = ClassifierPatchCore(_StubPatchCore(), threshold=1.0)
+    assert abs(float(legacy.score_raw(x)[0]) - 1.8) > 0.1
