@@ -69,7 +69,9 @@ def main():
     ap.add_argument("--seed", type=int, default=777,
                     help="test-set seed (disjoint from training/refit seeds)")
     ap.add_argument("--variants", default="plain,denoiser,gt",
-                    help="comma list of plain|denoiser|wrn|seg|gt")
+                    help="comma list of plain|denoiser|wrn|seg|gt|gtd "
+                         "(gtd = ground truth + the shipped residual "
+                         "dilation — the proper oracle bound)")
     ap.add_argument("--samplers", default="ddim",
                     help="comma list of ddim|ddpm (ddpm = full ancestral "
                          "chain — timesteps sampling steps)")
@@ -82,6 +84,12 @@ def main():
                     help="sets ood.mask_dilate for the refined path "
                          "(residual dilation AFTER hysteresis growth)")
     ap.add_argument("--mask-dilate", type=int, default=None)
+    ap.add_argument("--gts-scale", type=float, default=0.5,
+                    help="mask value of the soft-oracle 'gts' variant")
+    ap.add_argument("--save-masks", default=None,
+                    help="npz path: dump every variant's Stage-A masks + "
+                         "the gt region for offline value-distribution "
+                         "analysis")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -152,6 +160,38 @@ def main():
             # reference's gt-mask flow passes the binary seg directly
             # (scripts/test.py:214, reference test.py:325-327)
             masks[v] = gt_region.copy()
+        elif v == "gtd":
+            # oracle mask + the shipped residual dilation: the faithful-64
+            # run showed the EXACT gt mask is significantly WORSE than
+            # plain under both samplers while the detector's dilated mask
+            # wins — branched fusion needs a blending halo around the OOD
+            # region, so the proper oracle bound is gt ⊕ dilate
+            from localdiffusion_tpu.ood.thresholds import dilate_mask
+
+            rad = args.refine_dilate if args.refine_dilate is not None else (
+                args.mask_dilate if args.mask_dilate is not None
+                else cfg_fe.ood.mask_dilate
+            )
+            masks[v] = np.stack([
+                dilate_mask(gt_region[i], max(int(rad), 0))
+                for i in range(n)
+            ])
+        elif v == "gts":
+            # SOFT oracle: dilated gt scaled to --gts-scale.  The faithful-64
+            # run showed binary oracle masks (gt, gtd) are significantly
+            # WORSE than plain while the detector's soft mask wins — this
+            # variant isolates the mask-VALUE effect (partial branch/plain
+            # blending) from the mask-SUPPORT effect at oracle support
+            from localdiffusion_tpu.ood.thresholds import dilate_mask
+
+            rad = args.refine_dilate if args.refine_dilate is not None else (
+                args.mask_dilate if args.mask_dilate is not None
+                else cfg_fe.ood.mask_dilate
+            )
+            masks[v] = args.gts_scale * np.stack([
+                dilate_mask(gt_region[i], max(int(rad), 0))
+                for i in range(n)
+            ])
         else:
             cfg_v = detector_cfg(v)
             fe, cfg_v = build_frontend(cfg_v, verbose=True)
@@ -164,6 +204,10 @@ def main():
             masks[v] = np.concatenate(out)
         fired = [not bool((masks[v][i] == 1.0).all()) for i in range(n)]
         print(f"[{v}] masks ready: fired {int(np.sum(fired))}/{n}", flush=True)
+    if args.save_masks:
+        np.savez_compressed(args.save_masks, gt=gt_region,
+                            **{f"mask_{v}": masks[v] for v in variants})
+        print(f"saved masks {args.save_masks}", flush=True)
 
     # ---- Stage B per sampler ---------------------------------------------
     results = {"n": n, "size": size, "config": args.config,
@@ -229,11 +273,16 @@ def main():
                 }
                 od = results["variants"][dkey]["ood_delta"]
                 lo, hi = od["ci95"] if od["ci95"] else (None, None)
-                sig = (hi is not None and hi < 0.0)
+                if hi is not None and hi < 0.0:
+                    tag = "SIGNIFICANT (better)"
+                elif lo is not None and lo > 0.0:
+                    tag = "SIGNIFICANT (worse)"
+                else:
+                    tag = "ns"
                 print(f"[{dkey}] ood Δ {od['mean']:+.4f} "
                       f"CI [{lo:+.4f}, {hi:+.4f}] "
                       f"({results['variants'][dkey]['ood_delta_pct']:+.1f}%) "
-                      f"{'SIGNIFICANT' if sig else 'ns'}", flush=True)
+                      f"{tag}", flush=True)
 
     if args.out:
         with open(args.out, "w") as f:
