@@ -150,6 +150,20 @@ def dilate_mask(m: np.ndarray, radius: int) -> np.ndarray:
     return out
 
 
+def erode_mask(m: np.ndarray, radius: int) -> np.ndarray:
+    """Grey erosion of one mask [H, W, 1] by `radius` pixels (iterated 3×3
+    min filter, edge-padded) — dilate_mask's dual, used by the margin
+    harness's core-only oracle variant (scripts/eval_margins.py)."""
+    out = np.asarray(m, np.float32)
+    h, w = out.shape[:2]
+    for _ in range(int(radius)):
+        p = np.pad(out, ((1, 1), (1, 1), (0, 0)), mode="edge")
+        out = np.minimum.reduce(
+            [p[i : i + h, j : j + w] for i in range(3) for j in range(3)]
+        )
+    return out
+
+
 def dilate_with_backoff(
     mask: np.ndarray, binary: np.ndarray, radius: int
 ) -> Tuple[np.ndarray, np.ndarray]:

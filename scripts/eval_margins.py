@@ -86,6 +86,10 @@ def main():
     ap.add_argument("--mask-dilate", type=int, default=None)
     ap.add_argument("--gts-scale", type=float, default=0.5,
                     help="mask value of the soft-oracle 'gts' variant")
+    ap.add_argument("--gte-radius", type=int, default=4,
+                    help="erosion radius of the core-oracle 'gte' variant "
+                         "(4 px ≈ the shipped denoiser mask's 0.88 gt "
+                         "coverage at the synthetic radius-25 lesion)")
     ap.add_argument("--save-masks", default=None,
                     help="npz path: dump every variant's Stage-A masks + "
                          "the gt region for offline value-distribution "
@@ -148,6 +152,8 @@ def main():
             over["mask_dilate"] = args.mask_dilate
         return cfg_fe.replace(ood=dataclasses.replace(cfg_fe.ood, **over))
 
+    from localdiffusion_tpu.ood.thresholds import dilate_mask, erode_mask
+
     variants = args.variants.split(",")
     masks: dict = {}
     ones = np.ones((n, size, size, 1), np.float32)
@@ -166,8 +172,6 @@ def main():
             # plain under both samplers while the detector's dilated mask
             # wins — branched fusion needs a blending halo around the OOD
             # region, so the proper oracle bound is gt ⊕ dilate
-            from localdiffusion_tpu.ood.thresholds import dilate_mask
-
             rad = args.refine_dilate if args.refine_dilate is not None else (
                 args.mask_dilate if args.mask_dilate is not None
                 else cfg_fe.ood.mask_dilate
@@ -176,14 +180,24 @@ def main():
                 dilate_mask(gt_region[i], max(int(rad), 0))
                 for i in range(n)
             ])
+        elif v == "gte":
+            # ERODED oracle: gt minus its rim.  The shipped denoiser mask
+            # (the only variant that beats plain) covers 87.6% of gt and
+            # spills only 12% outside — it misses the tumor RIM — while
+            # every full-coverage mask (gt, gtd, seg) loses to plain.  If
+            # core-only branching wins here too, the mechanism is rim
+            # blending: branched/plain fusion inside the boundary band
+            # must stay on the plain chain.
+            masks[v] = np.stack([
+                erode_mask(gt_region[i], max(int(args.gte_radius), 0))
+                for i in range(n)
+            ])
         elif v == "gts":
             # SOFT oracle: dilated gt scaled to --gts-scale.  The faithful-64
             # run showed binary oracle masks (gt, gtd) are significantly
             # WORSE than plain while the detector's soft mask wins — this
             # variant isolates the mask-VALUE effect (partial branch/plain
             # blending) from the mask-SUPPORT effect at oracle support
-            from localdiffusion_tpu.ood.thresholds import dilate_mask
-
             rad = args.refine_dilate if args.refine_dilate is not None else (
                 args.mask_dilate if args.mask_dilate is not None
                 else cfg_fe.ood.mask_dilate
