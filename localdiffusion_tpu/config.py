@@ -245,6 +245,14 @@ class SamplerConfig:
     # (reference models.py:278-287: patchcore_mnist_{obj}_hr.pth /
     # memory_bank_mvtec_{obj}.npy); consumed by scripts/test.py
     classifier_obj: str = "tile"
+    # gate polarity.  'preserve' is the reference semantics (ddpm.py:888:
+    # accept while the fused x_start still scores ANOMALOUS — the task
+    # output is supposed to retain the anomaly).  'suppress' is the dual
+    # for anomaly-REMOVING translations (e.g. tumor-free target
+    # modalities): accept while the x_start scores NORMAL, reject + re-fuse
+    # when lesion-like residue appears.  EXTENSION — the reference
+    # hard-codes 'preserve'.
+    classifier_polarity: str = "preserve"  # preserve | suppress
     ood_ad: bool = True
     # confidence-driven run: like ood_ad, forces mask_cond/mask_x on at
     # dispatch (reference ddpm.py:1106-1108, our sampler.reconcile)
@@ -263,6 +271,10 @@ class SamplerConfig:
     def __post_init__(self):
         if self.mask_x_policy not in ("cond", "minval"):
             raise ValueError(f"bad mask_x_policy {self.mask_x_policy}")
+        if self.classifier_polarity not in ("preserve", "suppress"):
+            raise ValueError(
+                f"bad classifier_polarity {self.classifier_polarity}"
+            )
         if self.fusion_route not in ("zero_sentinel", "mask"):
             raise ValueError(f"bad fusion_route {self.fusion_route}")
 
@@ -601,6 +613,7 @@ def reference_dict_to_config(raw: Mapping[str, Any]) -> Config:
         cond_in_floor=0.5 if data_name == "mnist" else 0.95,
         classifier=g("classifier", False),
         classifier_obj=g("classifier_obj", "tile"),
+        classifier_polarity=g("classifier_polarity", "preserve"),
         ood_ad=g("ood_AD", True),
         ood_confidence=g("ood_confidence", False),
         return_all_timesteps=g("return_all_timesteps", False),

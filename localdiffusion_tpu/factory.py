@@ -215,7 +215,7 @@ def build_classifier_gate(cfg: Config, frontend=None, calibration_pairs=None,
         if verbose:
             print("calibrating classifier threshold from the stream")
         cls.calibrate(calibration_pairs)
-    return cls.as_sampler_gate()
+    return cls.as_sampler_gate(polarity=cfg.sampler.classifier_polarity)
 
 
 def build_pipeline(cfg: Config, milestone: str = "latest",

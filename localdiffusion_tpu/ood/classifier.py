@@ -106,10 +106,22 @@ class ClassifierPatchCore:
         amap = resize_bilinear(out["anomaly_map"], x.shape[1:3])
         return pred, amap, score
 
-    def as_sampler_gate(self) -> Callable[[jnp.ndarray], jnp.ndarray]:
-        """Jittable gate for the sampler: x_start → score − threshold
-        (> 0 ⇒ accept, matching `pred_cls > 0` at ddpm.py:888)."""
+    def as_sampler_gate(
+        self, polarity: str = "preserve"
+    ) -> Callable[[jnp.ndarray], jnp.ndarray]:
+        """Jittable gate for the sampler: the sampler accepts when the
+        returned value is > 0.
+
+        polarity='preserve' (reference, ddpm.py:888): score − threshold —
+        accept while the fused x_start still scores ANOMALOUS (the task
+        output retains the anomaly; rejection means it was hallucinated
+        away).  polarity='suppress' (extension, SamplerConfig
+        .classifier_polarity): threshold − score — accept while the
+        x_start scores NORMAL (anomaly-removing translations; rejection
+        means lesion-like residue leaked into the output)."""
         assert self.threshold is not None
+        assert polarity in ("preserve", "suppress"), polarity
+        sign = 1.0 if polarity == "preserve" else -1.0
         thr = float(self.threshold)
         pc = self.patchcore
         mem = pc.memory_bank
@@ -125,6 +137,6 @@ class ClassifierPatchCore:
             else:
                 xin = preprocess_for_patchcore(x_start, input_size, denorm)
             _, pred_score = pc._score(xin, mem)
-            return pred_score - thr
+            return sign * (pred_score - thr)
 
         return gate

@@ -55,6 +55,21 @@ def main():
     ap.add_argument("--calib", type=int, default=32,
                     help="calibration images PER CLASS for the ROC sweep")
     ap.add_argument("--rebuild-bank", action="store_true")
+    ap.add_argument("--polarity", choices=["preserve", "suppress"],
+                    default=None,
+                    help="override sampler.classifier_polarity.  'preserve' "
+                         "(reference ddpm.py:888) accepts anomalous-scoring "
+                         "x_starts — ill-posed for this synthetic task, "
+                         "whose TARGET modality is tumor-free (the lesion "
+                         "exists in T1 only), so normal/tumor FLAIR "
+                         "calibration images are the same distribution.  "
+                         "'suppress' accepts normal-scoring x_starts and "
+                         "calibrates against lesion-INJECTED FLAIR "
+                         "exemplars (synthetic hallucinations)")
+    ap.add_argument("--lesion-amp", type=float, default=2.0,
+                    help="peak amplitude (normalized units) of the "
+                         "injected calibration lesions; the T1 tumor is "
+                         "+4.3 normalized units for scale")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -75,6 +90,10 @@ def main():
     from localdiffusion_tpu.pipeline import LocalDiffusionPipeline
 
     cfg = load_config(args.config)
+    if args.polarity:
+        cfg = cfg.replace(sampler=dataclasses.replace(
+            cfg.sampler, classifier_polarity=args.polarity))
+    polarity = cfg.sampler.classifier_polarity
     d, size = cfg.data, cfg.diffusion.image_size
     assert d.name == "synthetic_brain"
     norm_kw = dict(mean_t1=d.mean_t1, std_t1=d.std_t1, mean_flair=d.mean_flair,
@@ -104,8 +123,27 @@ def main():
     cls = ClassifierPatchCore(PatchCore(cfg.ood, memory_bank=mb, source=src))
     hr_cn, _, _ = synthetic_brain_translation(
         args.calib, size, tumor=False, seed=21, **norm_kw)
-    hr_ct, _, _ = synthetic_brain_translation(
-        args.calib, size, tumor=True, seed=22, **norm_kw)
+    if polarity == "preserve":
+        # reference semantics: anomalous exemplars = tumor-carrying inputs.
+        # NOTE: on this synthetic task the target FLAIR is tumor-free, so
+        # these are distributionally identical to the normals — the run
+        # documents the ill-posedness (balanced acc ≈ 0.5)
+        hr_ct, _, _ = synthetic_brain_translation(
+            args.calib, size, tumor=True, seed=22, **norm_kw)
+    else:
+        # 'suppress': anomalous exemplars = normal FLAIR with an injected
+        # Gaussian lesion (a synthetic hallucination residue) at a random
+        # in-brain location, radius size/10 like the T1 tumor generator
+        hr_ct, _, _ = synthetic_brain_translation(
+            args.calib, size, tumor=False, seed=22, **norm_kw)
+        rng = np.random.default_rng(23)
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+        tr = size / 10
+        for i in range(args.calib):
+            ty = int(rng.integers(size // 4, 3 * size // 4))
+            tx = int(rng.integers(size // 4, 3 * size // 4))
+            lesion = np.exp(-((yy - ty) ** 2 + (xx - tx) ** 2) / (2 * tr**2))
+            hr_ct[i, :, :, 0] += args.lesion_amp * lesion
     pairs = [(hr_cn[i : i + 1], 0) for i in range(args.calib)] + \
             [(hr_ct[i : i + 1], 1) for i in range(args.calib)]
     thr = cls.calibrate(pairs)
@@ -137,6 +175,7 @@ def main():
     gate = build_classifier_gate(cfg, frontend)
 
     results = {"config": args.config, "n": n, "threshold": float(thr),
+               "polarity": polarity,
                "balanced_acc": float(acc), "bank_rows": int(mb.shape[0]),
                "variants": {}}
 
