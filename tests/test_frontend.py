@@ -160,3 +160,15 @@ def test_classifier_raw_source_skips_imagenet_prep():
     # WRN-style stub (no .source) still takes the legacy prep path
     legacy = ClassifierPatchCore(_StubPatchCore(), threshold=1.0)
     assert abs(float(legacy.score_raw(x)[0]) - 1.8) > 0.1
+
+
+def test_classifier_gate_polarity():
+    cls = ClassifierPatchCore(_StubPatchCore(), threshold=1.0)
+    hot = jnp.full((1, 16, 16, 1), 1.5)   # anomalous-scoring input
+    cold = jnp.full((1, 16, 16, 1), 0.5)  # normal-scoring input
+    preserve = cls.as_sampler_gate(polarity="preserve")
+    suppress = cls.as_sampler_gate(polarity="suppress")
+    # preserve (reference ddpm.py:888): accept (>0) while still anomalous
+    assert float(preserve(hot)[0]) > 0 and float(preserve(cold)[0]) < 0
+    # suppress: accept while the output scores normal
+    assert float(suppress(hot)[0]) < 0 and float(suppress(cold)[0]) > 0
