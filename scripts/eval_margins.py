@@ -62,7 +62,11 @@ def main():
                          "(e.g. run the stem arch's Stage B with the "
                          "faithful config's denoiser-tap detector, so the "
                          "masks are identical across architecture legs)")
-    ap.add_argument("--params-npz", default=None)
+    ap.add_argument("--params-npz", default=None,
+                    help="Stage B params snapshot; a comma list runs every "
+                         "checkpoint in ONE process (axon cross-process "
+                         "compile reuse is erratic — round-5 lesson), with "
+                         "result keys prefixed by the npz basename")
     ap.add_argument("--milestone", default="latest")
     ap.add_argument("--images", type=int, default=64)
     ap.add_argument("--batch", type=int, default=8)
@@ -223,7 +227,8 @@ def main():
                             **{f"mask_{v}": masks[v] for v in variants})
         print(f"saved masks {args.save_masks}", flush=True)
 
-    # ---- Stage B per sampler ---------------------------------------------
+    # ---- Stage B per sampler × checkpoint --------------------------------
+    npz_list = args.params_npz.split(",") if args.params_npz else [None]
     results = {"n": n, "size": size, "config": args.config,
                "params_npz": args.params_npz, "variants": {}}
     for sampler in args.samplers.split(","):
@@ -234,69 +239,75 @@ def main():
             diffusion=dataclasses.replace(cfg0.diffusion, sampling_timesteps=st)
         )
         gd = build_gd(cfg_s)
-        params = load_params(cfg_s, gd, milestone=args.milestone,
-                             params_npz=args.params_npz)
-        pipe = LocalDiffusionPipeline(cfg_s, gd, params)
-        base_key = jax.random.PRNGKey(args.seed)
+        # loop body runs once per checkpoint (paired noise keys are
+        # re-derived identically, so deltas stay comparable across npz)
+        for npz in npz_list:
+            ck = ""
+            if len(npz_list) > 1:
+                ck = os.path.splitext(os.path.basename(npz))[0] + "/"
+            params = load_params(cfg_s, gd, milestone=args.milestone,
+                                 params_npz=npz)
+            pipe = LocalDiffusionPipeline(cfg_s, gd, params)
+            base_key = jax.random.PRNGKey(args.seed)
 
-        per_variant_px = {}
-        for v in variants:
-            mse_whole = np.zeros(n)
-            mse_ood = np.zeros(n)
-            t0 = time.perf_counter()
-            for i in range(0, n, args.batch):
-                sl = slice(i, i + args.batch)
-                # same key per batch index across variants → paired noise
-                key = jax.random.fold_in(base_key, i // args.batch)
-                r = pipe.translate(lr[sl], key=key, mask=masks[v][sl])
-                err = (np.asarray(r["pred"], np.float32) - hr[sl]) ** 2
-                mse_whole[sl] = err.reshape(err.shape[0], -1).mean(1)
-                g = gt_region[sl]
-                mse_ood[sl] = (err * g).reshape(err.shape[0], -1).sum(1) / (
-                    np.maximum(g.reshape(g.shape[0], -1).sum(1), 1.0)
-                )
-            dt = time.perf_counter() - t0
-            per_variant_px[v] = (mse_whole, mse_ood)
-            key_name = f"{sampler}/{v}"
-            results["variants"][key_name] = {
-                "whole": mean_ci(mse_whole),
-                "ood_region": mean_ci(mse_ood),
-                "wall_s": round(dt, 2),
-                "per_image_whole": [round(float(x), 6) for x in mse_whole],
-                "per_image_ood": [round(float(x), 6) for x in mse_ood],
-            }
-            w, o = results["variants"][key_name]["whole"], \
-                results["variants"][key_name]["ood_region"]
-            print(f"[{key_name}] whole {w['mean']:.4f} "
-                  f"ood {o['mean']:.4f} ({dt:.0f}s)", flush=True)
-
-        # paired deltas vs plain (the margin itself, with its own CI)
-        if "plain" in per_variant_px:
-            pw, po = per_variant_px["plain"]
+            per_variant_px = {}
             for v in variants:
-                if v == "plain":
-                    continue
-                vw, vo = per_variant_px[v]
-                dkey = f"{sampler}/{v}_minus_plain"
-                results["variants"][dkey] = {
-                    "whole_delta": mean_ci(vw - pw),
-                    "ood_delta": mean_ci(vo - po),
-                    "ood_delta_pct": round(
-                        100.0 * float((vo - po).mean()) / float(po.mean()), 2
-                    ),
+                mse_whole = np.zeros(n)
+                mse_ood = np.zeros(n)
+                t0 = time.perf_counter()
+                for i in range(0, n, args.batch):
+                    sl = slice(i, i + args.batch)
+                    # same key per batch index across variants → paired noise
+                    key = jax.random.fold_in(base_key, i // args.batch)
+                    r = pipe.translate(lr[sl], key=key, mask=masks[v][sl])
+                    err = (np.asarray(r["pred"], np.float32) - hr[sl]) ** 2
+                    mse_whole[sl] = err.reshape(err.shape[0], -1).mean(1)
+                    g = gt_region[sl]
+                    mse_ood[sl] = (err * g).reshape(err.shape[0], -1).sum(1) / (
+                        np.maximum(g.reshape(g.shape[0], -1).sum(1), 1.0)
+                    )
+                dt = time.perf_counter() - t0
+                per_variant_px[v] = (mse_whole, mse_ood)
+                key_name = f"{ck}{sampler}/{v}"
+                results["variants"][key_name] = {
+                    "whole": mean_ci(mse_whole),
+                    "ood_region": mean_ci(mse_ood),
+                    "wall_s": round(dt, 2),
+                    "per_image_whole": [round(float(x), 6) for x in mse_whole],
+                    "per_image_ood": [round(float(x), 6) for x in mse_ood],
                 }
-                od = results["variants"][dkey]["ood_delta"]
-                lo, hi = od["ci95"] if od["ci95"] else (None, None)
-                if hi is not None and hi < 0.0:
-                    tag = "SIGNIFICANT (better)"
-                elif lo is not None and lo > 0.0:
-                    tag = "SIGNIFICANT (worse)"
-                else:
-                    tag = "ns"
-                print(f"[{dkey}] ood Δ {od['mean']:+.4f} "
-                      f"CI [{lo:+.4f}, {hi:+.4f}] "
-                      f"({results['variants'][dkey]['ood_delta_pct']:+.1f}%) "
-                      f"{tag}", flush=True)
+                w, o = results["variants"][key_name]["whole"], \
+                    results["variants"][key_name]["ood_region"]
+                print(f"[{key_name}] whole {w['mean']:.4f} "
+                      f"ood {o['mean']:.4f} ({dt:.0f}s)", flush=True)
+
+            # paired deltas vs plain (the margin itself, with its own CI)
+            if "plain" in per_variant_px:
+                pw, po = per_variant_px["plain"]
+                for v in variants:
+                    if v == "plain":
+                        continue
+                    vw, vo = per_variant_px[v]
+                    dkey = f"{ck}{sampler}/{v}_minus_plain"
+                    results["variants"][dkey] = {
+                        "whole_delta": mean_ci(vw - pw),
+                        "ood_delta": mean_ci(vo - po),
+                        "ood_delta_pct": round(
+                            100.0 * float((vo - po).mean()) / float(po.mean()), 2
+                        ),
+                    }
+                    od = results["variants"][dkey]["ood_delta"]
+                    lo, hi = od["ci95"] if od["ci95"] else (None, None)
+                    if hi is not None and hi < 0.0:
+                        tag = "SIGNIFICANT (better)"
+                    elif lo is not None and lo > 0.0:
+                        tag = "SIGNIFICANT (worse)"
+                    else:
+                        tag = "ns"
+                    print(f"[{dkey}] ood Δ {od['mean']:+.4f} "
+                          f"CI [{lo:+.4f}, {hi:+.4f}] "
+                          f"({results['variants'][dkey]['ood_delta_pct']:+.1f}%) "
+                          f"{tag}", flush=True)
 
     if args.out:
         with open(args.out, "w") as f:
