@@ -232,9 +232,15 @@ def main():
     results = {"n": n, "size": size, "config": args.config,
                "params_npz": args.params_npz, "variants": {}}
     for sampler in args.samplers.split(","):
-        st = None if sampler == "ddpm" else (
-            cfg0.diffusion.sampling_timesteps or 50
-        )
+        if sampler == "ddpm":
+            st = None
+        else:
+            # a config whose default is the full ancestral chain
+            # (sampling_timesteps == timesteps, the r5 256px default) would
+            # otherwise dispatch 'ddim' back to ancestral — pin DDIM-50
+            st = cfg0.diffusion.sampling_timesteps
+            if not st or st >= cfg0.diffusion.timesteps:
+                st = 50
         cfg_s = cfg0.replace(
             diffusion=dataclasses.replace(cfg0.diffusion, sampling_timesteps=st)
         )
